@@ -1,0 +1,266 @@
+"""Stateful MPPI planner with the reference workflow, over the functional core.
+
+Drop-in capability parity with the reference planner object
+(reference: mppi_numba/mppi.py:39-608): same construction-from-Config, same
+``reset / setup(params, lin_tdm, ang_tdm) / solve / get_state_rollout /
+shift_and_update`` lifecycle, same params-dict keys, same solve-condition
+guards.  Internally every solve is one jitted XLA program (see ``solver.py``)
+instead of a sequence of CUDA kernel launches, and the mutable device
+buffers of the reference become donated/jit-managed arrays.
+"""
+
+from __future__ import annotations
+
+import copy
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import Config, SolverStatic
+from .ops.costs import (DEFAULT_DIST_WEIGHT, DEFAULT_OBS_COST,
+                        DEFAULT_UNKNOWN_COST)
+from .solver import get_terrain_solver, get_terrain_vis
+from .types import MapInputs, TerrainTask
+
+
+class MPPIPlanner:
+    """Planner that runs MPPI on TPU via JAX/XLA.
+
+    Typical workflow (reference: mppi_numba/mppi.py:44-52):
+      1. Initialize with a ``Config``.
+      2. ``reset()``
+      3. ``setup(mppi_params, linear_tdm, angular_tdm)``
+      4. ``solve()`` -> optimized control sequence ``(num_steps, 2)``
+      5. ``get_state_rollout()`` for visualization
+      6. ``shift_and_update(next_state, useq, num_shifts=1)``
+      7. Repeat from 2 if traction maps change.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.T = cfg.T
+        self.dt = cfg.dt
+        self.num_steps = cfg.num_steps
+        self.num_grid_samples = cfg.num_grid_samples
+        self.num_control_rollouts = cfg.num_control_rollouts
+        self.num_vis_state_rollouts = cfg.num_vis_state_rollouts
+        self.seed = cfg.seed
+        self.use_tdm = cfg.use_tdm
+        self.use_det_dynamics = cfg.use_det_dynamics
+        self.use_nom_dynamics_with_speed_map = cfg.use_nom_dynamics_with_speed_map
+        self.use_costmap = cfg.use_costmap
+        self.det_dyn = cfg.det_dyn
+
+        self.device_var_initialized = True
+        self.reset()
+
+    def reset(self):
+        self.u_seq0 = np.zeros((self.num_steps, 2), dtype=np.float32)
+        self.params = None
+        self.params_set = False
+        self.lin_tdm = None
+        self.ang_tdm = None
+        self.tdm_set = False
+
+        self.u_cur = jnp.asarray(self.u_seq0)
+        self.u_prev = jnp.asarray(self.u_seq0)
+        self._key = jax.random.PRNGKey(self.seed)
+        self._last_aux = None
+
+    # -- setup ---------------------------------------------------------------
+
+    def setup(self, params, lin_tdm, ang_tdm):
+        self.set_tdm(lin_tdm, ang_tdm)
+        self.set_params(params)
+
+    def is_within_bound(self, v, vbounds):
+        return v >= vbounds[0] and v <= vbounds[1]
+
+    def set_params(self, params):
+        if not self.is_within_bound(params['x0'][0], self.lin_tdm.xlimits):
+            print("ERROR: When setting mppi params, x0[0] is not within xlimits!")
+            assert False
+        if not self.is_within_bound(params['x0'][1], self.lin_tdm.ylimits):
+            print("ERROR: When setting mppi params, x0[1] is not within ylimits!")
+            assert False
+        self.params = copy.deepcopy(params)
+        self.params_set = True
+
+    def set_tdm(self, lin_tdm, ang_tdm):
+        self.lin_tdm = lin_tdm
+        self.ang_tdm = ang_tdm
+        self.tdm_set = True
+
+    def check_solve_conditions(self):
+        if not self.params_set:
+            print("MPPI parameters are not set. Cannot solve")
+            return False
+        if not self.tdm_set:
+            print("MPPI has not received TDMs. Cannot solve")
+            return False
+        if not self.device_var_initialized:
+            print("Device variables not initialized. Cannot solve.")
+            return False
+        if not self.lin_tdm.pmf_grid_initialized:
+            print("Linear TDM's PMF not initialized. Cannot solve.")
+            return False
+        if not self.ang_tdm.pmf_grid_initialized:
+            print("Angular TDM's PMF not initialized. Cannot solve.")
+            return False
+        if not self.is_within_bound(self.params["x0"][0], self.lin_tdm.padded_xlimits):
+            print("Robot initial condition not within padded xlimits.")
+            return False
+        if not self.is_within_bound(self.params["x0"][1], self.lin_tdm.padded_ylimits):
+            print("Robot initial condition not within padded ylimits.")
+            return False
+        return True
+
+    # -- solve -----------------------------------------------------------------
+
+    def _mode(self):
+        if self.use_det_dynamics:
+            return "det_dyn"
+        if self.use_nom_dynamics_with_speed_map:
+            return "speed_map"
+        return "tdm"
+
+    def _static(self):
+        mode = self._mode()
+        M = 1 if mode != "tdm" else self.num_grid_samples
+        H, W = self.lin_tdm.get_padded_grid_xy_dim()
+        if mode == "tdm":
+            alpha = float(self.params.get("cvar_alpha", 1.0))
+            cvar_numel = int(math.ceil(M * alpha))
+        else:
+            cvar_numel = 1
+        return SolverStatic(
+            mode=mode,
+            num_steps=self.num_steps,
+            num_control_rollouts=self.num_control_rollouts,
+            num_grid_samples=M,
+            map_shape=(H, W),
+            num_obstacles=0,
+            cvar_numel=cvar_numel,
+            num_opt=int(self.params.get("num_opt", 1)),
+            num_vis_state_rollouts=self.num_vis_state_rollouts,
+        )
+
+    def _map_inputs(self):
+        lin, ang = self.lin_tdm, self.ang_tdm
+        return MapInputs(
+            lin_pmf=lin.pmf_grid_device,
+            ang_pmf=ang.pmf_grid_device,
+            lin_qbins=lin.qbin_values,
+            ang_qbins=ang.qbin_values,
+            obstacle=lin.obstacle_map_device,
+            unknown=lin.unknown_map_device,
+            risk=lin.risk_traction_map_device,
+        )
+
+    def _task(self):
+        p = self.params
+        lin, ang = self.lin_tdm, self.ang_tdm
+        f32 = np.float32
+        lin_lb, lin_ub = lin.bin_values_bounds
+        ang_lb, ang_ub = ang.bin_values_bounds
+        mode = self._mode()
+        # The det modes always sample with alpha_dyn = 1 — their PMFs are
+        # pre-collapsed (reference: mppi_numba/mppi.py:249-250, 321-322);
+        # the stochastic mode reads params['alpha_dyn'] (mppi.py:393-396).
+        if mode == "tdm":
+            alpha_dyn = f32(p.get("alpha_dyn", 1.0))
+        else:
+            alpha_dyn = f32(1.0)
+        return TerrainTask(
+            x0=jnp.asarray(np.asarray(p["x0"], dtype=f32)),
+            xgoal=jnp.asarray(np.asarray(p["xgoal"], dtype=f32)),
+            goal_tolerance=f32(p["goal_tolerance"]),
+            v_post_rollout=f32(p["v_post_rollout"]),
+            lambda_weight=f32(p["lambda_weight"]),
+            u_std=jnp.asarray(np.asarray(p["u_std"], dtype=f32)),
+            vrange=jnp.asarray(np.asarray(p["vrange"], dtype=f32)),
+            wrange=jnp.asarray(np.asarray(p["wrange"], dtype=f32)),
+            dt=f32(p["dt"]),
+            dist_weight=f32(p.get("dist_weight", DEFAULT_DIST_WEIGHT)),
+            obs_penalty=f32(p.get("obs_penalty", DEFAULT_OBS_COST)),
+            unknown_penalty=f32(p.get("unknown_penalty", DEFAULT_UNKNOWN_COST)),
+            alpha_dyn=alpha_dyn,
+            res=f32(lin.res),
+            xlim0=f32(lin.padded_xlimits[0]),
+            ylim0=f32(lin.padded_ylimits[0]),
+            lin_lb=f32(lin_lb),
+            lin_ratio=f32(0.01 * (lin_ub - lin_lb)),
+            ang_lb=f32(ang_lb),
+            ang_ratio=f32(0.01 * (ang_ub - ang_lb)),
+        )
+
+    def solve(self):
+        """Optimize and return the control sequence ``(num_steps, 2)`` as
+        host float32 (reference: mppi_numba/mppi.py:186-211)."""
+        if not self.check_solve_conditions():
+            print("MPPI solve condition not met. Cannot solve. Return")
+            return
+
+        static = self._static()
+        solve_fn = get_terrain_solver(static)
+        self._key, sub = jax.random.split(self._key)
+        u_new, aux = solve_fn(sub, self._map_inputs(), self._task(), self.u_cur)
+        self.u_cur = u_new
+        self._last_aux = aux
+        self._last_static = static
+
+        # Mirror the reference's realized-sample data flow: the TDMs expose
+        # the batch the solve actually used (reference keeps it in
+        # tdm.sample_grid_batch_d; terrain.py:610-622).
+        self.lin_tdm.sample_grid_batch = aux.lin_grids
+        self.ang_tdm.sample_grid_batch = aux.ang_grids
+
+        if self.det_dyn:
+            # Reference quirk preserved deliberately: u_prev_d is assigned as
+            # an alias of u_cur_d before the in-place update kernel runs, so
+            # "previous" controls seen by the vis kernel are the freshly
+            # updated ones (reference: mppi_numba/mppi.py:292,362; SURVEY
+            # §2.6).
+            self.u_prev = u_new
+
+        return np.asarray(jax.device_get(u_new))
+
+    # -- receding horizon -------------------------------------------------------
+
+    def shift_and_update(self, new_x0, u_cur, num_shifts=1):
+        self.params["x0"] = np.asarray(new_x0).copy()
+        self.shift_optimal_control_sequence(u_cur, num_shifts)
+
+    def shift_optimal_control_sequence(self, u_cur, num_shifts=1):
+        u_cur_shifted = np.asarray(u_cur).copy()
+        u_cur_shifted[:-num_shifts] = u_cur_shifted[num_shifts:]
+        self.u_cur = jnp.asarray(u_cur_shifted.astype(np.float32))
+
+    # -- visualization ------------------------------------------------------------
+
+    def get_state_rollout(self):
+        """State sequences under the current optimal control
+        (reference: mppi_numba/mppi.py:545-608).
+
+        Stochastic mode: the optimal sequence rolled across the first
+        ``num_vis_state_rollouts`` sampled map pairs.  Det modes: the optimal
+        sequence plus noise-perturbed previous sequences on map sample 0.
+        Returns host float32 ``(num_vis, T+1, 3)``.
+        """
+        assert self.params_set, "MPPI parameters are not set"
+        assert self.tdm_set, "MPPI has not received TDMs"
+        if self._last_aux is None:
+            print("No solve has produced rollout data yet. Cannot visualize.")
+            return None
+
+        vis_fn = get_terrain_vis(self._last_static)
+        states = vis_fn(self._map_inputs(), self._task(), self.u_cur,
+                        self.u_prev, self._last_aux.noise_vis,
+                        self._last_aux.lin_grids, self._last_aux.ang_grids)
+        return np.asarray(jax.device_get(states))
+
+
+# Backwards-compatible alias matching the reference class name.
+MPPI_Numba = MPPIPlanner

@@ -1,0 +1,150 @@
+"""Functional solver core: one fused, jitted program per solve.
+
+The reference's ``solve()`` issues 4-5 separate kernel launches with host
+round-trips between them (sample maps -> sample noise -> rollout -> update;
+reference: mppi_numba/mppi.py:378-451).  Here the entire optimization
+iteration — map sampling, bit-packing, noise draw, (K, M) rollout, CVaR
+reduction, coupling, softmax update — is ONE XLA program: no host sync, no
+intermediate HBM round-trips that XLA can fuse away, and the nominal control
+buffer is donated so replanning updates in place.
+
+Executables are cached per ``SolverStatic`` signature, so closed-loop
+replanning compiles exactly once per problem shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .config import SolverStatic
+from .ops.cvar import cvar_from_costs
+from .ops.packing import pack_map_words
+from .ops.rollout import (barebone_rollout_costs, barebone_vis_states,
+                          control_coupling, terrain_rollout_costs,
+                          terrain_vis_states)
+from .ops.sampling import sample_noise, sample_traction_grids
+from .ops.update import update_useq
+from .types import SolveAux
+
+
+@functools.lru_cache(maxsize=None)
+def get_terrain_solver(static: SolverStatic):
+    """Build (and cache) the jitted terrain-mode solve function.
+
+    Returned callable: ``(key, maps, task, u0) -> (u_new, SolveAux)``.
+    """
+    assert static.mode in ("tdm", "det_dyn", "speed_map")
+    K = static.num_control_rollouts
+    T = static.num_steps
+    M = static.num_grid_samples
+    V = static.num_vis_state_rollouts
+    speed_map = static.mode == "speed_map"
+
+    def solve_fn(key, maps, task, u0):
+        kmap, knoise = jax.random.split(key)
+        # The reference seeds the linear and angular TDM RNG streams with the
+        # SAME seed (reference: mppi_numba/terrain.py:173-176), so both grids
+        # are drawn from identical uniforms — their bin choices are
+        # comonotone.  We preserve that coupling by reusing one key.
+        lin_grids = sample_traction_grids(kmap, maps.lin_pmf, maps.lin_qbins,
+                                          task.alpha_dyn, M)
+        ang_grids = sample_traction_grids(kmap, maps.ang_pmf, maps.ang_qbins,
+                                          task.alpha_dyn, M)
+        packed = pack_map_words(lin_grids, ang_grids, maps.obstacle,
+                                maps.unknown,
+                                maps.risk if speed_map else None)
+
+        u = u0
+        noise = None
+        costs = None
+        weights = None
+        for i in range(static.num_opt):
+            noise = sample_noise(jax.random.fold_in(knoise, i), task.u_std, K, T)
+            costs_km = terrain_rollout_costs(packed, task, u, noise,
+                                             speed_map=speed_map)
+            costs = (cvar_from_costs(costs_km, static.cvar_numel)
+                     + control_coupling(u, noise, task.u_std, task.lambda_weight))
+            u, weights = update_useq(costs, noise, u, task.lambda_weight,
+                                     task.vrange, task.wrange)
+        aux = SolveAux(costs=costs, weights=weights, noise_vis=noise[:V],
+                       lin_grids=lin_grids, ang_grids=ang_grids)
+        return u, aux
+
+    return jax.jit(solve_fn, donate_argnums=(3,))
+
+
+@functools.lru_cache(maxsize=None)
+def get_terrain_vis(static: SolverStatic):
+    """Jitted visualization rollouts.
+
+    Stochastic mode rolls the optimal sequence across the first V sampled
+    map pairs (reference: mppi_numba/mppi.py:1298-1351).  Det modes roll the
+    optimal sequence plus V-1 noise-perturbed copies of the previous
+    sequence on map sample 0 (reference: mppi_numba/mppi.py:1194-1295; note
+    the reference aliases u_prev to the freshly updated u_cur —
+    mppi.py:292,362 — which the planner mirrors).
+    """
+    V = static.num_vis_state_rollouts
+    det = static.mode in ("det_dyn", "speed_map")
+
+    def vis_fn(maps, task, u_cur, u_prev, noise_vis, lin_grids, ang_grids):
+        if det:
+            grids_l = jnp.broadcast_to(lin_grids[0], (V,) + lin_grids.shape[1:])
+            grids_a = jnp.broadcast_to(ang_grids[0], (V,) + ang_grids.shape[1:])
+            noisy = u_prev[None] + noise_vis                       # (V, T, 2)
+            noisy = jnp.stack([
+                jnp.clip(noisy[..., 0], task.vrange[0], task.vrange[1]),
+                jnp.clip(noisy[..., 1], task.wrange[0], task.wrange[1]),
+            ], axis=-1)
+            controls = jnp.concatenate([u_cur[None], noisy[1:]], axis=0)
+        else:
+            grids_l = lin_grids[:V]
+            grids_a = ang_grids[:V]
+            controls = jnp.broadcast_to(u_cur[None], (V,) + u_cur.shape)
+        packed = pack_map_words(grids_l, grids_a, maps.obstacle, maps.unknown)
+        return terrain_vis_states(packed, task, controls)
+
+    return jax.jit(vis_fn)
+
+
+@functools.lru_cache(maxsize=None)
+def get_barebone_solver(static: SolverStatic):
+    """Jitted barebone (terrain-free, analytic-obstacle) solve."""
+    assert static.mode == "barebone"
+    K = static.num_control_rollouts
+    T = static.num_steps
+    V = static.num_vis_state_rollouts
+
+    def solve_fn(key, task, u0):
+        u = u0
+        noise = costs = weights = None
+        for i in range(static.num_opt):
+            noise = sample_noise(jax.random.fold_in(key, i), task.u_std, K, T)
+            costs = (barebone_rollout_costs(task, u, noise)
+                     + control_coupling(u, noise, task.u_std, task.lambda_weight))
+            u, weights = update_useq(costs, noise, u, task.lambda_weight,
+                                     task.vrange, task.wrange)
+        aux = SolveAux(costs=costs, weights=weights, noise_vis=noise[:V],
+                       lin_grids=None, ang_grids=None)
+        return u, aux
+
+    return jax.jit(solve_fn, donate_argnums=(2,))
+
+
+@functools.lru_cache(maxsize=None)
+def get_barebone_vis(static: SolverStatic):
+    V = static.num_vis_state_rollouts
+
+    def vis_fn(task, u_cur, u_prev, noise_vis):
+        noisy = u_prev[None] + noise_vis
+        noisy = jnp.stack([
+            jnp.clip(noisy[..., 0], task.vrange[0], task.vrange[1]),
+            jnp.clip(noisy[..., 1], task.wrange[0], task.wrange[1]),
+        ], axis=-1)
+        controls = jnp.concatenate([u_cur[None], noisy[1:]], axis=0)
+        return barebone_vis_states(task, controls)
+
+    return jax.jit(vis_fn)
