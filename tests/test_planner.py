@@ -1,0 +1,170 @@
+"""Planner API + closed-loop behavior (integration, mirrors test.ipynb /
+barebone_mppi_numba.ipynb)."""
+
+import numpy as np
+import pytest
+
+from mppi_numba_tpu import (BareboneConfig, BareboneMPPI, Config,
+                            GaussianMixture, MPPIPlanner, TDM, Terrain)
+
+
+def make_world(seed=1, num_bins=12, shape=(9, 9)):
+    rng = np.random.RandomState(seed)
+    pmf_bounds = [0, 1.0]
+    bush_gm = GaussianMixture(pmf_bounds, pmf_bounds, [0.6, 0.4], [0, 0.8],
+                              [0.15, 0.1], num_samples=1e4, rng=rng)
+    dirt_gm = GaussianMixture(pmf_bounds, pmf_bounds, [1], [0.65], [0.1],
+                              num_samples=1e4, rng=rng)
+    bush = Terrain("Vegetation", (0, 1, 0), bush_gm, bush_gm)
+    dirt = Terrain("Dirt", (1, 1, 0), dirt_gm, dirt_gm)
+    id2name = {0: "Dirt", 1: "Vegetation"}
+    name2terrain = {"Vegetation": bush, "Dirt": dirt}
+    terrain2pmf = {bush: bush_gm.get_pmf(num_bins),
+                   dirt: dirt_gm.get_pmf(num_bins)}
+    sg = np.zeros(shape, dtype=np.int8)
+    sg[1:-1, 1:-1][rng.rand(shape[0] - 2, shape[1] - 2) < 0.3] = 1
+    bin_values = terrain2pmf[bush][0]
+    return sg, id2name, name2terrain, terrain2pmf, bin_values
+
+
+def make_planner(mode, K=256, M=64, T=6.0, vis=8, seed=1):
+    sg, id2name, name2terrain, terrain2pmf, bin_values = make_world()
+    kw = dict(use_tdm=mode == "tdm", use_det_dynamics=mode == "det",
+              use_nom_dynamics_with_speed_map=mode == "speed")
+    cfg = Config(T=T, dt=0.1, num_grid_samples=M, num_control_rollouts=K,
+                 max_speed_padding=3.0, num_vis_state_rollouts=vis,
+                 max_map_dim=(15, 15), seed=seed, **kw)
+    alpha_dyn = 1.0 if mode == "tdm" else 0.3
+    lin_tdm, ang_tdm = TDM(cfg), TDM(cfg)
+    for tdm in (lin_tdm, ang_tdm):
+        tdm.set_TDM_from_semantic_grid(
+            sg, 1.0, len(bin_values), bin_values, np.array([0.0, 1.0]),
+            np.array([0.0, 9.0]), np.array([0.0, 9.0]),
+            id2name, name2terrain, terrain2pmf,
+            det_dynamics_cvar_alpha=None if mode == "tdm" else alpha_dyn)
+    params = dict(
+        dt=cfg.dt, x0=np.array([0.5, 0.5, np.pi / 4]),
+        xgoal=np.array([8.0, 8.0]), goal_tolerance=0.5, v_post_rollout=0.01,
+        cvar_alpha=0.3 if mode == "tdm" else 1.0, alpha_dyn=alpha_dyn,
+        dist_weight=1, lambda_weight=1.0, num_opt=1,
+        u_std=np.array([2.0, 3.0]), vrange=np.array([0.0, 3.0]),
+        wrange=np.array([-np.pi, np.pi]))
+    planner = MPPIPlanner(cfg)
+    planner.setup(params, lin_tdm, ang_tdm)
+    return cfg, planner, params, lin_tdm
+
+
+@pytest.mark.parametrize("mode", ["tdm", "det", "speed"])
+def test_solve_returns_valid_sequence(mode):
+    cfg, planner, params, _ = make_planner(mode)
+    useq = planner.solve()
+    assert useq.shape == (cfg.num_steps, 2)
+    assert useq.dtype == np.float32
+    vr = params["vrange"].astype(np.float32)
+    wr = params["wrange"].astype(np.float32)
+    assert (useq[:, 0] >= vr[0]).all()
+    assert (useq[:, 0] <= vr[1]).all()
+    assert (useq[:, 1] >= wr[0]).all()
+    assert (useq[:, 1] <= wr[1]).all()
+    assert np.isfinite(useq).all()
+
+
+@pytest.mark.parametrize("mode", ["tdm", "det"])
+def test_closed_loop_reaches_goal(mode):
+    cfg, planner, params, lin_tdm = make_planner(mode, K=512, M=128, T=8.0)
+    tg = lin_tdm.sample_grids_true_dist()
+    x = params["x0"].copy()
+    reached = False
+    for t in range(150):
+        useq = planner.solve()
+        u = useq[0]
+        lt, at = tg.get(x[0], x[1])
+        x = x + cfg.dt * np.array([lt * u[0] * np.cos(x[2]),
+                                   lt * u[0] * np.sin(x[2]), at * u[1]])
+        planner.shift_and_update(x, useq, 1)
+        if np.linalg.norm(x[:2] - params["xgoal"]) <= params["goal_tolerance"]:
+            reached = True
+            break
+    assert reached, "planner failed to reach goal in 15 s of sim time"
+
+
+@pytest.mark.parametrize("mode", ["tdm", "det", "speed"])
+def test_state_rollout_shapes_and_start(mode):
+    cfg, planner, params, _ = make_planner(mode)
+    planner.solve()
+    states = planner.get_state_rollout()
+    assert states.shape == (cfg.num_vis_state_rollouts, cfg.num_steps + 1, 3)
+    np.testing.assert_allclose(states[:, 0, :],
+                               np.tile(params["x0"], (states.shape[0], 1)),
+                               rtol=1e-6)
+
+
+def test_shift_and_update_rolls_sequence():
+    cfg, planner, params, _ = make_planner("det")
+    useq = planner.solve()
+    new_x0 = params["x0"] + 0.05
+    planner.shift_and_update(new_x0, useq, num_shifts=1)
+    shifted = np.asarray(planner.u_cur)
+    np.testing.assert_allclose(shifted[:-1], useq[1:], rtol=1e-6)
+    np.testing.assert_allclose(planner.params["x0"], new_x0)
+
+
+def test_solve_without_setup_returns_none():
+    cfg = Config(T=2.0, dt=0.1, use_tdm=True, num_grid_samples=4,
+                 num_control_rollouts=128)
+    planner = MPPIPlanner(cfg)
+    assert planner.solve() is None
+
+
+def test_x0_out_of_bounds_asserts():
+    cfg, planner, params, lin_tdm = make_planner("det")
+    bad = dict(params)
+    bad["x0"] = np.array([100.0, 0.5, 0.0])
+    with pytest.raises(AssertionError):
+        planner.set_params(bad)
+
+
+def test_solver_reuses_compiled_executable():
+    from mppi_numba_tpu.solver import get_terrain_solver
+    cfg, planner, params, _ = make_planner("det")
+    planner.solve()
+    before = get_terrain_solver.cache_info().misses
+    planner.solve()
+    planner.solve()
+    after = get_terrain_solver.cache_info().misses
+    assert before == after
+
+
+def test_barebone_closed_loop_reaches_goal():
+    cfg = BareboneConfig(T=5.0, dt=0.1, num_control_rollouts=500,
+                         num_vis_state_rollouts=10, seed=1)
+    x0 = np.array([0, 0, np.pi / 4])
+    xgoal = np.array([7, 5])
+    params = dict(dt=cfg.dt, x0=x0, xgoal=xgoal, goal_tolerance=0.5,
+                  dist_weight=10, lambda_weight=1.0, num_opt=1,
+                  u_std=np.array([1.0, 1.0]), vrange=np.array([0.0, 2.0]),
+                  wrange=np.array([-np.pi, np.pi]),
+                  obstacle_positions=np.array([[5, 4.5], [2, 1]]),
+                  obstacle_radius=np.array([1.5, 1.0]), obs_penalty=1e6)
+    planner = BareboneMPPI(cfg)
+    planner.setup(params)
+    x = x0.astype(float).copy()
+    reached = False
+    traj = [x.copy()]
+    for t in range(151):
+        useq = planner.solve()
+        u = useq[0]
+        x = x + cfg.dt * np.array([u[0] * np.cos(x[2]),
+                                   u[0] * np.sin(x[2]), u[1]])
+        traj.append(x.copy())
+        planner.shift_and_update(x, useq, 1)
+        if np.linalg.norm(x[:2] - xgoal) <= params["goal_tolerance"]:
+            reached = True
+            break
+    assert reached
+    # Obstacles avoided along the way.
+    traj = np.asarray(traj)
+    assert np.min(np.hypot(traj[:, 0] - 5, traj[:, 1] - 4.5)) > 1.4
+    assert np.min(np.hypot(traj[:, 0] - 2, traj[:, 1] - 1)) > 0.9
+    states = planner.get_state_rollout()
+    assert states.shape == (cfg.num_vis_state_rollouts, cfg.num_steps + 1, 3)
