@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverStatic, rec_min_control_rollouts
+from .mppi import _shift_useq
 from .ops.costs import BAREBONE_DEFAULT_DIST_WEIGHT, BAREBONE_DEFAULT_OBS_COST
 from .solver import get_barebone_solver, get_barebone_vis
 from .types import BareboneTask
@@ -81,6 +82,8 @@ class BareboneMPPI:
         self.u_prev = jnp.asarray(self.u_seq0)
         self._key = jax.random.PRNGKey(self.seed)
         self._last_aux = None
+        self._task_device = None
+        self._last_useq_np = None
 
     def setup(self, params):
         self.set_params(params)
@@ -88,6 +91,9 @@ class BareboneMPPI:
     def set_params(self, params):
         self.params = copy.deepcopy(params)
         self.params_set = True
+        # Full task staged to device once per params change; per-replan
+        # updates touch only the x0 leaf (see shift_and_update).
+        self._task_device = self._task()
 
     def check_solve_conditions(self):
         if not self.params_set:
@@ -144,7 +150,7 @@ class BareboneMPPI:
         static = self._static()
         solve_fn = get_barebone_solver(static)
         self._key, sub = jax.random.split(self._key)
-        u_new, aux = solve_fn(sub, self._task(), self.u_cur)
+        u_new, aux = solve_fn(sub, self._task_device, self.u_cur)
         self.u_cur = u_new
         # Reference quirk preserved: u_prev_d is aliased to u_cur_d before the
         # in-place update, so "previous" controls equal the updated ones
@@ -152,13 +158,23 @@ class BareboneMPPI:
         self.u_prev = u_new
         self._last_aux = aux
         self._last_static = static
-        return np.asarray(jax.device_get(u_new))
+        self._last_useq_np = np.asarray(jax.device_get(u_new))
+        return self._last_useq_np
 
     def shift_and_update(self, new_x0, u_cur, num_shifts=1):
-        self.params["x0"] = np.asarray(new_x0).copy()
-        u_cur_shifted = np.asarray(u_cur).copy()
-        u_cur_shifted[:-num_shifts] = u_cur_shifted[num_shifts:]
-        self.u_cur = jnp.asarray(u_cur_shifted.astype(np.float32))
+        new_x0 = np.asarray(new_x0).copy()
+        self.params["x0"] = new_x0
+        self._task_device = self._task_device._replace(
+            x0=jnp.asarray(new_x0.astype(np.float32)))
+        u_np = np.asarray(u_cur, dtype=np.float32)
+        if (self._last_useq_np is not None
+                and u_np.shape == self._last_useq_np.shape
+                and np.array_equal(u_np, self._last_useq_np)):
+            self.u_cur = _shift_useq(self.u_cur, num_shifts)
+        else:
+            u_shifted = u_np.copy()
+            u_shifted[:-num_shifts] = u_shifted[num_shifts:]
+            self.u_cur = jnp.asarray(u_shifted)
 
     def get_state_rollout(self):
         assert self.params_set, "MPPI parameters are not set"
@@ -166,6 +182,6 @@ class BareboneMPPI:
             print("No solve has produced rollout data yet. Cannot visualize.")
             return None
         vis_fn = get_barebone_vis(self._last_static)
-        states = vis_fn(self._task(), self.u_cur, self.u_prev,
+        states = vis_fn(self._task_device, self.u_cur, self.u_prev,
                         self._last_aux.noise_vis)
         return np.asarray(jax.device_get(states))

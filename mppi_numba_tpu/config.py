@@ -151,3 +151,4 @@ class SolverStatic:
     cvar_numel: int            # ceil(M * cvar_alpha); M for alpha == 1
     num_opt: int               # optimization iterations per solve
     num_vis_state_rollouts: int
+    backend: str = "auto"      # 'pallas' | 'xla' | 'auto' (pallas on TPU when it fits)

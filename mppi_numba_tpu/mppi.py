@@ -12,6 +12,7 @@ buffers of the reference become donated/jit-managed arrays.
 from __future__ import annotations
 
 import copy
+import functools
 import math
 
 import numpy as np
@@ -68,6 +69,8 @@ class MPPIPlanner:
         self.u_prev = jnp.asarray(self.u_seq0)
         self._key = jax.random.PRNGKey(self.seed)
         self._last_aux = None
+        self._task_device = None
+        self._last_useq_np = None
 
     # -- setup ---------------------------------------------------------------
 
@@ -87,6 +90,12 @@ class MPPIPlanner:
             assert False
         self.params = copy.deepcopy(params)
         self.params_set = True
+        # Stage the full task pytree to the device ONCE per params change.
+        # Per-replan updates touch only the x0 leaf (see shift_and_update) —
+        # critical when the host<->device link has high latency: the
+        # reference re-uploads ~10 small arrays every solve
+        # (reference: mppi_numba/mppi.py:214-234); we upload one.
+        self._task_device = self._build_task()
 
     def set_tdm(self, lin_tdm, ang_tdm):
         self.lin_tdm = lin_tdm
@@ -159,7 +168,13 @@ class MPPIPlanner:
             risk=lin.risk_traction_map_device,
         )
 
-    def _task(self):
+    def _build_task(self):
+        """Assemble the TerrainTask pytree and commit it to the device.
+
+        All leaves go up as ONE packed transfer (scalars concatenated with
+        the small vectors), then are sliced apart on device — a single
+        host->device round trip instead of ~20.
+        """
         p = self.params
         lin, ang = self.lin_tdm, self.ang_tdm
         f32 = np.float32
@@ -173,28 +188,25 @@ class MPPIPlanner:
             alpha_dyn = f32(p.get("alpha_dyn", 1.0))
         else:
             alpha_dyn = f32(1.0)
-        return TerrainTask(
-            x0=jnp.asarray(np.asarray(p["x0"], dtype=f32)),
-            xgoal=jnp.asarray(np.asarray(p["xgoal"], dtype=f32)),
-            goal_tolerance=f32(p["goal_tolerance"]),
-            v_post_rollout=f32(p["v_post_rollout"]),
-            lambda_weight=f32(p["lambda_weight"]),
-            u_std=jnp.asarray(np.asarray(p["u_std"], dtype=f32)),
-            vrange=jnp.asarray(np.asarray(p["vrange"], dtype=f32)),
-            wrange=jnp.asarray(np.asarray(p["wrange"], dtype=f32)),
-            dt=f32(p["dt"]),
-            dist_weight=f32(p.get("dist_weight", DEFAULT_DIST_WEIGHT)),
-            obs_penalty=f32(p.get("obs_penalty", DEFAULT_OBS_COST)),
-            unknown_penalty=f32(p.get("unknown_penalty", DEFAULT_UNKNOWN_COST)),
-            alpha_dyn=alpha_dyn,
-            res=f32(lin.res),
-            xlim0=f32(lin.padded_xlimits[0]),
-            ylim0=f32(lin.padded_ylimits[0]),
-            lin_lb=f32(lin_lb),
-            lin_ratio=f32(0.01 * (lin_ub - lin_lb)),
-            ang_lb=f32(ang_lb),
-            ang_ratio=f32(0.01 * (ang_ub - ang_lb)),
-        )
+        flat = np.concatenate([
+            np.asarray(p["x0"], dtype=f32).ravel(),                 # 0:3
+            np.asarray(p["xgoal"], dtype=f32).ravel(),              # 3:5
+            np.asarray(p["u_std"], dtype=f32).ravel(),              # 5:7
+            np.asarray(p["vrange"], dtype=f32).ravel(),             # 7:9
+            np.asarray(p["wrange"], dtype=f32).ravel(),             # 9:11
+            np.asarray([
+                p["goal_tolerance"], p["v_post_rollout"],
+                p["lambda_weight"], p["dt"],
+                p.get("dist_weight", DEFAULT_DIST_WEIGHT),
+                p.get("obs_penalty", DEFAULT_OBS_COST),
+                p.get("unknown_penalty", DEFAULT_UNKNOWN_COST),
+                alpha_dyn, lin.res,
+                lin.padded_xlimits[0], lin.padded_ylimits[0],
+                lin_lb, 0.01 * (lin_ub - lin_lb),
+                ang_lb, 0.01 * (ang_ub - ang_lb),
+            ], dtype=f32),                                           # 11:26
+        ])
+        return _unpack_task(jnp.asarray(flat))
 
     def solve(self):
         """Optimize and return the control sequence ``(num_steps, 2)`` as
@@ -206,7 +218,8 @@ class MPPIPlanner:
         static = self._static()
         solve_fn = get_terrain_solver(static)
         self._key, sub = jax.random.split(self._key)
-        u_new, aux = solve_fn(sub, self._map_inputs(), self._task(), self.u_cur)
+        u_new, aux = solve_fn(sub, self._map_inputs(), self._task_device,
+                              self.u_cur)
         self.u_cur = u_new
         self._last_aux = aux
         self._last_static = static
@@ -225,13 +238,29 @@ class MPPIPlanner:
             # §2.6).
             self.u_prev = u_new
 
-        return np.asarray(jax.device_get(u_new))
+        self._last_useq_np = np.asarray(jax.device_get(u_new))
+        return self._last_useq_np
 
     # -- receding horizon -------------------------------------------------------
 
     def shift_and_update(self, new_x0, u_cur, num_shifts=1):
-        self.params["x0"] = np.asarray(new_x0).copy()
-        self.shift_optimal_control_sequence(u_cur, num_shifts)
+        """Receding-horizon update (reference: mppi_numba/mppi.py:534-542).
+
+        Exactly ONE small host->device transfer (the new x0); the control
+        shift runs on device when ``u_cur`` is the sequence the last solve
+        returned (the standard closed-loop pattern), else it is re-uploaded.
+        """
+        new_x0 = np.asarray(new_x0).copy()
+        self.params["x0"] = new_x0
+        self._task_device = self._task_device._replace(
+            x0=jnp.asarray(new_x0.astype(np.float32)))
+        u_np = np.asarray(u_cur, dtype=np.float32)
+        if (self._last_useq_np is not None
+                and u_np.shape == self._last_useq_np.shape
+                and np.array_equal(u_np, self._last_useq_np)):
+            self.u_cur = _shift_useq(self.u_cur, num_shifts)
+        else:
+            self.shift_optimal_control_sequence(u_np, num_shifts)
 
     def shift_optimal_control_sequence(self, u_cur, num_shifts=1):
         u_cur_shifted = np.asarray(u_cur).copy()
@@ -256,10 +285,30 @@ class MPPIPlanner:
             return None
 
         vis_fn = get_terrain_vis(self._last_static)
-        states = vis_fn(self._map_inputs(), self._task(), self.u_cur,
+        states = vis_fn(self._map_inputs(), self._task_device, self.u_cur,
                         self.u_prev, self._last_aux.noise_vis,
                         self._last_aux.lin_grids, self._last_aux.ang_grids)
         return np.asarray(jax.device_get(states))
+
+
+@jax.jit
+def _unpack_task(flat):
+    """Slice the single packed upload back into a TerrainTask pytree."""
+    return TerrainTask(
+        x0=flat[0:3], xgoal=flat[3:5], u_std=flat[5:7], vrange=flat[7:9],
+        wrange=flat[9:11], goal_tolerance=flat[11], v_post_rollout=flat[12],
+        lambda_weight=flat[13], dt=flat[14], dist_weight=flat[15],
+        obs_penalty=flat[16], unknown_penalty=flat[17], alpha_dyn=flat[18],
+        res=flat[19], xlim0=flat[20], ylim0=flat[21], lin_lb=flat[22],
+        lin_ratio=flat[23], ang_lb=flat[24], ang_ratio=flat[25])
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _shift_useq(u_cur, num_shifts):
+    """Device-side receding-horizon shift: ``u[:-n] = u[n:]`` with the last
+    ``n`` entries left unchanged — exactly the reference's host-side
+    assignment (reference: mppi_numba/mppi.py:539-542)."""
+    return jnp.concatenate([u_cur[num_shifts:], u_cur[-num_shifts:]], axis=0)
 
 
 # Backwards-compatible alias matching the reference class name.

@@ -22,12 +22,33 @@ import jax.numpy as jnp
 from .config import SolverStatic
 from .ops.cvar import cvar_from_costs
 from .ops.packing import pack_map_words
-from .ops.rollout import (barebone_rollout_costs, barebone_vis_states,
-                          control_coupling, terrain_rollout_costs,
-                          terrain_vis_states)
+from .ops.pallas.rollout_kernel import (LANES, build_task_vec,
+                                        pallas_rollout_supported,
+                                        terrain_rollout_costs_pallas)
+from .ops.rollout import (_clipped_controls_tk, barebone_rollout_costs,
+                          barebone_vis_states, control_coupling,
+                          terrain_rollout_costs, terrain_vis_states)
 from .ops.sampling import sample_noise, sample_traction_grids
 from .ops.update import update_useq
 from .types import SolveAux
+
+
+def resolve_backend(static: SolverStatic) -> str:
+    """Pick the rollout implementation for a static signature.
+
+    'auto' uses the fused Pallas kernel on TPU whenever the chunked map
+    tiles fit in VMEM, falling back to the XLA rollout elsewhere (CPU tests,
+    oversized maps).
+    """
+    if static.backend != "auto":
+        return static.backend
+    if static.mode == "barebone":
+        return "xla"
+    H, W = static.map_shape
+    if (jax.default_backend() == "tpu"
+            and pallas_rollout_supported(static.num_grid_samples, H * W)):
+        return "pallas"
+    return "xla"
 
 
 @functools.lru_cache(maxsize=None)
@@ -42,6 +63,23 @@ def get_terrain_solver(static: SolverStatic):
     M = static.num_grid_samples
     V = static.num_vis_state_rollouts
     speed_map = static.mode == "speed_map"
+    backend = resolve_backend(static)
+    H, W = static.map_shape
+
+    def rollout(packed, task, u, noise):
+        if backend == "pallas":
+            v_all, w_all = _clipped_controls_tk(u, noise, task.vrange,
+                                                task.wrange)
+            k_pad = -(-K // LANES) * LANES
+            if k_pad != K:
+                v_all = jnp.pad(v_all, ((0, 0), (0, k_pad - K)))
+                w_all = jnp.pad(w_all, ((0, 0), (0, k_pad - K)))
+            costs_km = terrain_rollout_costs_pallas(
+                packed, build_task_vec(task), v_all, w_all,
+                H=H, W=W, T=T, speed_map=speed_map)
+            return costs_km[:K]
+        return terrain_rollout_costs(packed, task, u, noise,
+                                     speed_map=speed_map)
 
     def solve_fn(key, maps, task, u0):
         kmap, knoise = jax.random.split(key)
@@ -63,8 +101,7 @@ def get_terrain_solver(static: SolverStatic):
         weights = None
         for i in range(static.num_opt):
             noise = sample_noise(jax.random.fold_in(knoise, i), task.u_std, K, T)
-            costs_km = terrain_rollout_costs(packed, task, u, noise,
-                                             speed_map=speed_map)
+            costs_km = rollout(packed, task, u, noise)
             costs = (cvar_from_costs(costs_km, static.cvar_numel)
                      + control_coupling(u, noise, task.u_std, task.lambda_weight))
             u, weights = update_useq(costs, noise, u, task.lambda_weight,

@@ -1,0 +1,84 @@
+"""Multi-device sharded solve vs single-device solve on a virtual 8-CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mppi_numba_tpu.config import SolverStatic
+from mppi_numba_tpu.parallel.mesh import make_mesh
+from mppi_numba_tpu.parallel.sharded import get_sharded_terrain_solver
+from mppi_numba_tpu.solver import get_terrain_solver
+from mppi_numba_tpu.types import MapInputs, TerrainTask
+
+
+def build_case(S, K=64, M=8, T=10, B=5, H=8, W=8, seed=0, mode="tdm",
+               cvar_numel=None):
+    rng = np.random.RandomState(seed)
+    raw = rng.randint(0, 100, size=(S, B, H, W)).astype(float)
+    pmf = (raw / raw.sum(1, keepdims=True) * 100).astype(np.int8)
+    pmf[:, -1] = 100 - pmf[:, :-1].sum(1)
+    qbins = np.linspace(0, 100, B).astype(np.int8)
+
+    maps = MapInputs(
+        lin_pmf=jnp.asarray(pmf),
+        ang_pmf=jnp.asarray(pmf),
+        lin_qbins=jnp.broadcast_to(jnp.asarray(qbins), (S, B)),
+        ang_qbins=jnp.broadcast_to(jnp.asarray(qbins), (S, B)),
+        obstacle=jnp.zeros((S, H, W), jnp.int8),
+        unknown=jnp.zeros((S, H, W), jnp.int8),
+        risk=jnp.zeros((S, H, W), jnp.int8),
+    )
+    f32 = np.float32
+
+    def batch(x):
+        return jnp.broadcast_to(jnp.asarray(np.asarray(x, f32)),
+                                (S,) + np.shape(np.asarray(x, f32)))
+
+    task = TerrainTask(
+        x0=batch([2.0, 2.0, 0.3]), xgoal=batch([6.0, 6.0]),
+        goal_tolerance=batch(0.4), v_post_rollout=batch(0.3),
+        lambda_weight=batch(1.0), u_std=batch([1.0, 1.5]),
+        vrange=batch([0.0, 2.0]), wrange=batch([-3.0, 3.0]),
+        dt=batch(0.1), dist_weight=batch(1.5), obs_penalty=batch(1e4),
+        unknown_penalty=batch(1e2), alpha_dyn=batch(1.0), res=batch(1.0),
+        xlim0=batch(0.0), ylim0=batch(0.0), lin_lb=batch(0.0),
+        lin_ratio=batch(0.01), ang_lb=batch(0.0), ang_ratio=batch(0.01),
+    )
+    static = SolverStatic(mode=mode, num_steps=T, num_control_rollouts=K,
+                          num_grid_samples=M, map_shape=(H, W),
+                          num_obstacles=0,
+                          cvar_numel=M if cvar_numel is None else cvar_numel,
+                          num_opt=2, num_vis_state_rollouts=1)
+    u0 = jnp.zeros((S, T, 2), jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+    return static, maps, task, u0, keys
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_solve_matches_single_device(mesh_shape):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    S = mesh_shape[0] * 2  # two scenarios per scenario-shard
+    static, maps, task, u0, keys = build_case(S, cvar_numel=3)
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[:8])
+    sharded = get_sharded_terrain_solver(static, mesh)
+    u_multi, costs_multi = sharded(keys, maps, task, u0)
+
+    single = get_terrain_solver(static)
+    for s in range(S):
+        maps_s = jax.tree.map(lambda x: x[s], maps)
+        task_s = jax.tree.map(lambda x: x[s], task)
+        u_single, aux = single(keys[s], maps_s, task_s, u0[s])
+        np.testing.assert_allclose(np.asarray(u_multi)[s],
+                                   np.asarray(u_single), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(costs_multi)[s],
+                                   np.asarray(aux.costs), rtol=2e-4, atol=2e-3)
+
+
+def test_sharded_solver_is_cached():
+    static, maps, task, u0, keys = build_case(2)
+    mesh = make_mesh(1, 8, devices=jax.devices()[:8])
+    a = get_sharded_terrain_solver(static, mesh)
+    b = get_sharded_terrain_solver(static, mesh)
+    assert a is b
