@@ -108,8 +108,8 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
                   P(scenario_axis),            # task leaves (S, ...)
                   P(scenario_axis)),           # u0 (S, T, 2)
         out_specs=(P(scenario_axis),                       # u (replicated over k)
-                   P(scenario_axis, ROLLOUT_AXIS)),        # costs (S, K)
-        check_rep=False)
+                   P(scenario_axis, rollout_axis)),        # costs (S, K)
+        check_vma=False)
 
     return jax.jit(smap)
 
