@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Headline benchmark: flagship stochastic MPPI solve latency on one chip.
+
+Workload mirrors the reference's benchmark configuration
+(reference: benchmark.ipynb[cell 2-4] / BASELINE.md): K=1024 control
+rollouts x M=1024 sampled traction maps x 100 steps over a 9x9 semantic map
+(padded), CVaR alpha=0.2.  The reference achieves ~17-30 ms per solve() on
+an RTX 3070; ``vs_baseline`` is the speedup against the favorable end
+(17 ms).
+
+Timing methodology: the host<->device link in this environment has ~30 ms
+round-trip latency and async dispatch makes naive block_until_ready timing
+meaningless, so we chain N solves on device (the optimized control sequence
+feeds the next solve) inside one jitted loop and fetch once.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mppi_numba_tpu.config import SolverStatic
+from mppi_numba_tpu.solver import get_terrain_solver
+from mppi_numba_tpu.types import MapInputs, TerrainTask
+
+REF_SOLVE_MS = 17.0  # fast end of the reference's 17-30 ms stochastic solve
+
+
+def build_flagship(K=1024, M=1024, T=100, H=15, W=15, B=22, cvar_alpha=0.2):
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 100, size=(B, H, W)).astype(float)
+    pmf = (raw / raw.sum(0) * 100).astype(np.int8)
+    pmf[-1] = 100 - pmf[:-1].sum(0)
+    qbins = np.linspace(0, 100, B).astype(np.int8)
+    maps = MapInputs(
+        lin_pmf=jnp.asarray(pmf), ang_pmf=jnp.asarray(pmf),
+        lin_qbins=jnp.asarray(qbins), ang_qbins=jnp.asarray(qbins),
+        obstacle=jnp.zeros((H, W), jnp.int8),
+        unknown=jnp.zeros((H, W), jnp.int8),
+        risk=jnp.zeros((H, W), jnp.int8))
+    flat = np.concatenate([
+        [0.5, 0.5, 0.785], [8.5, 8.5], [2.0, 3.0], [0.0, 3.0], [-3.14, 3.14],
+        [0.5, 0.01, 1.0, 0.1, 1.0, 1e5, 1e2, 1.0, 1.0, -3.0, -3.0,
+         0.0, 0.01, 0.0, 0.01]]).astype(np.float32)
+    fl = jnp.asarray(flat)
+    task = TerrainTask(fl[0:3], fl[3:5], fl[11], fl[12], fl[13], fl[5:7],
+                       fl[7:9], fl[9:11], fl[14], fl[15], fl[16], fl[17],
+                       fl[18], fl[19], fl[20], fl[21], fl[22], fl[23],
+                       fl[24], fl[25])
+    import math
+    static = SolverStatic(mode="tdm", num_steps=T, num_control_rollouts=K,
+                          num_grid_samples=M, map_shape=(H, W),
+                          num_obstacles=0,
+                          cvar_numel=math.ceil(M * cvar_alpha), num_opt=1,
+                          num_vis_state_rollouts=1)
+    return static, maps, task
+
+
+def main():
+    static, maps, task = build_flagship()
+    fn = get_terrain_solver(static)
+    T = static.num_steps
+    N = 50
+
+    @jax.jit
+    def closed_chain(key, u0):
+        def body(i, carry):
+            u, key = carry
+            key, sub = jax.random.split(key)
+            u, _ = fn(sub, maps, task, u)
+            return (u, key)
+        u, _ = jax.lax.fori_loop(0, N, body,
+                                 (u0, key))
+        return u
+
+    u = closed_chain(jax.random.PRNGKey(0), jnp.zeros((T, 2), jnp.float32))
+    np.asarray(u)  # compile + warm
+    t0 = time.perf_counter()
+    u = closed_chain(jax.random.PRNGKey(1), jnp.zeros((T, 2), jnp.float32))
+    np.asarray(u)
+    total = time.perf_counter() - t0
+    ms = 1000.0 * (total - 0.03) / N  # subtract one fetch round trip
+
+    print(json.dumps({
+        "metric": "stochastic_solve_latency_K1024_M1024_T100",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(REF_SOLVE_MS / ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
