@@ -20,6 +20,9 @@ from .terrain import (TDM, TDM_Numba, Terrain, TractionGrid,
 from .mppi import MPPIPlanner, MPPI_Numba
 from .barebone import BareboneConfig, BareboneMPPI
 from .types import TerrainTask, MapInputs, BareboneTask, SolveAux
+from .sim import trial, simulate_step
+from .benchmark import (make_benchmark_world, make_semantic_grid, run_trials,
+                        default_benchmark_params, METHODS)
 
 __version__ = "0.1.0"
 
@@ -32,4 +35,7 @@ __all__ = [
     "MPPIPlanner", "MPPI_Numba",
     "BareboneConfig", "BareboneMPPI",
     "TerrainTask", "MapInputs", "BareboneTask", "SolveAux",
+    "trial", "simulate_step",
+    "make_benchmark_world", "make_semantic_grid", "run_trials",
+    "default_benchmark_params", "METHODS",
 ]

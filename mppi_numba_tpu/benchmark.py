@@ -1,0 +1,227 @@
+"""Benchmark harness: paired-environment factorial sweep.
+
+Reproduces the reference's statistical benchmark
+(reference: benchmark.ipynb[cells 2-5]): the Vegetation/Dirt Gaussian-mixture
+world, environment pre-generation shared across methods (so method
+comparisons are paired on identical semantic maps AND identical ground-truth
+traction realizations), the methods x densities x envs x alphas x
+realizations sweep, and the same pandas DataFrame schema.
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+
+import numpy as np
+
+from .config import Config
+from .density import GaussianMixture
+from .mppi import MPPIPlanner
+from .sim import trial
+from .terrain import TDM, Terrain
+
+METHODS = ("noisy_dyn", "risk_dyn", "nom_dyn_risk_cost")
+
+
+def make_benchmark_world(num_bins=20, rng=None):
+    """The two-terrain world of the reference benchmark
+    (reference: benchmark.ipynb[cell 2]): Vegetation is bimodal {0, 0.8}
+    traction, Dirt is unimodal 0.65."""
+    pmf_bounds = [0, 1.0]
+    bush_lin = GaussianMixture(pmf_bounds, pmf_bounds, [0.6, 0.4], [0, 0.8],
+                               [0.15, 0.1], rng=rng)
+    bush_ang = GaussianMixture(pmf_bounds, pmf_bounds, [0.6, 0.4], [0, 0.8],
+                               [0.15, 0.1], rng=rng)
+    dirt_lin = GaussianMixture(pmf_bounds, pmf_bounds, [1], [0.65], [0.1],
+                               rng=rng)
+    dirt_ang = GaussianMixture(pmf_bounds, pmf_bounds, [1], [0.65], [0.1],
+                               rng=rng)
+
+    bush = Terrain("Vegetation", np.array((0, 250, 0)) / 255.0,
+                   bush_lin, bush_ang)
+    dirt = Terrain("Dirt", np.array((200, 190, 160)) / 255.0,
+                   dirt_lin, dirt_ang)
+
+    id2name = {0: dirt.name, 1: bush.name}
+    name2terrain = {bush.name: bush, dirt.name: dirt}
+    lin_terrain2pmf = {bush: bush_lin.get_pmf(num_bins),
+                       dirt: dirt_lin.get_pmf(num_bins)}
+    ang_terrain2pmf = {bush: bush_ang.get_pmf(num_bins),
+                       dirt: dirt_ang.get_pmf(num_bins)}
+    bin_values = lin_terrain2pmf[bush][0]
+    return dict(id2name=id2name, name2terrain=name2terrain,
+                lin_terrain2pmf=lin_terrain2pmf,
+                ang_terrain2pmf=ang_terrain2pmf,
+                bin_values=bin_values,
+                bin_values_bounds=(np.min(bin_values), np.max(bin_values)),
+                num_pmf_bins=len(bin_values))
+
+
+def make_semantic_grid(grid_shape, mud_margin, grass_density, rng,
+                       dirt_along_edge=True):
+    """Random semantic map with a dirt corridor near the edge
+    (reference: benchmark.ipynb[cell 4])."""
+    semantic_grid = np.zeros(grid_shape, dtype=np.int8)
+    if dirt_along_edge:
+        rand_num = rng.rand(grid_shape[0] - 2 * mud_margin,
+                            grid_shape[1] - 2 * mud_margin)
+        semantic_grid[mud_margin:-mud_margin,
+                      mud_margin:-mud_margin][rand_num < grass_density] = 1
+    else:
+        rand_num = rng.rand(*grid_shape)
+        semantic_grid[rand_num < grass_density] = 1
+        semantic_grid[:mud_margin, :mud_margin] = 0
+        semantic_grid[-mud_margin:, -mud_margin:] = 0
+    return semantic_grid
+
+
+def _cfg_for_method(orig_cfg: Config, method: str) -> Config:
+    kw = dict(T=orig_cfg.T, dt=orig_cfg.dt,
+              num_grid_samples=orig_cfg.num_grid_samples,
+              num_control_rollouts=orig_cfg.num_control_rollouts,
+              max_speed_padding=orig_cfg.max_speed_padding,
+              num_vis_state_rollouts=orig_cfg.num_vis_state_rollouts,
+              max_map_dim=orig_cfg.max_map_dim, seed=orig_cfg.seed)
+    if method == "risk_dyn":
+        return Config(use_det_dynamics=True, **kw)
+    if method == "nom_dyn_risk_cost":
+        return Config(use_nom_dynamics_with_speed_map=True, **kw)
+    if method == "noisy_dyn":
+        return Config(use_tdm=True, **kw)
+    raise ValueError(method)
+
+
+def run_trials(orig_cfg, world, max_steps, grid_shape, mud_margin, res,
+               default_mppi_params, grass_density_list, envs_per_density,
+               trials_per_env, alpha_list, method_list=METHODS,
+               seed=0, verbose=True):
+    """Full factorial sweep -> pandas DataFrame with the reference schema.
+
+    Environments and ground-truth realizations are generated ONCE and shared
+    across methods/alphas (paired comparisons, reference:
+    benchmark.ipynb[cell 4] ``density_to_grid_configs``).
+    """
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    loggers = []
+
+    # Pre-generate semantic maps + ground-truth traction realizations.
+    pregen_cfg = _cfg_for_method(orig_cfg, "noisy_dyn")
+    lin_tdm = TDM(pregen_cfg)
+    xlimits = (0, grid_shape[1] * res)
+    ylimits = (0, grid_shape[0] * res)
+    density_to_grid_configs = {gd: [] for gd in grass_density_list}
+    for density_i, grass_density in enumerate(grass_density_list):
+        for sem_map_i in range(envs_per_density):
+            semantic_grid = make_semantic_grid(grid_shape, mud_margin,
+                                               grass_density, rng)
+            lin_tdm.reset()
+            lin_tdm.set_TDM_from_semantic_grid(
+                semantic_grid, res, world["num_pmf_bins"],
+                world["bin_values"], world["bin_values_bounds"],
+                xlimits, ylimits, world["id2name"], world["name2terrain"],
+                world["lin_terrain2pmf"])
+            realizations = [lin_tdm.sample_grids_true_dist()
+                            for _ in range(trials_per_env)]
+            density_to_grid_configs[grass_density].append(dict(
+                semantic_grid=semantic_grid, sem_map_i=sem_map_i,
+                realizations=realizations, dirt_along_edge=True))
+
+    for method_i, method in enumerate(method_list):
+        cfg = _cfg_for_method(orig_cfg, method)
+        mppi_planner = MPPIPlanner(cfg)
+        lin_tdm = TDM(cfg)
+        ang_tdm = TDM(cfg)
+
+        for density_i, grass_density in enumerate(grass_density_list):
+            for sg_dict in density_to_grid_configs[grass_density]:
+                semantic_grid = sg_dict["semantic_grid"]
+                sem_map_i = sg_dict["sem_map_i"]
+                realizations = sg_dict["realizations"]
+
+                t_alphas = time.time()
+                for alpha_i, alpha in enumerate(alpha_list):
+                    if verbose:
+                        print("method={}({}/{}), grass_density={} ({}/{}), "
+                              "grid ({}/{}), alpha={}({}/{})".format(
+                                  method, method_i + 1, len(method_list),
+                                  grass_density, density_i + 1,
+                                  len(grass_density_list),
+                                  sem_map_i + 1, envs_per_density,
+                                  alpha, alpha_i + 1, len(alpha_list)))
+
+                    lin_tdm.reset()
+                    ang_tdm.reset()
+                    mppi_planner.reset()
+                    trial_params = copy.deepcopy(default_mppi_params)
+                    if method in ("risk_dyn", "nom_dyn_risk_cost"):
+                        det_alpha = alpha
+                        trial_params["alpha_dyn"] = alpha
+                        trial_params["cvar_alpha"] = 1.0
+                    else:
+                        det_alpha = None
+                        trial_params["alpha_dyn"] = 1.0
+                        trial_params["cvar_alpha"] = alpha
+                    lin_tdm.set_TDM_from_semantic_grid(
+                        semantic_grid, res, world["num_pmf_bins"],
+                        world["bin_values"], world["bin_values_bounds"],
+                        xlimits, ylimits, world["id2name"],
+                        world["name2terrain"], world["lin_terrain2pmf"],
+                        det_dynamics_cvar_alpha=det_alpha)
+                    ang_tdm.set_TDM_from_semantic_grid(
+                        semantic_grid, res, world["num_pmf_bins"],
+                        world["bin_values"], world["bin_values_bounds"],
+                        xlimits, ylimits, world["id2name"],
+                        world["name2terrain"], world["ang_terrain2pmf"],
+                        det_dynamics_cvar_alpha=det_alpha)
+
+                    mppi_planner.setup(trial_params, lin_tdm, ang_tdm)
+
+                    # NOTE (reference fidelity): the planner is NOT reset
+                    # between realizations — the warm-started control
+                    # sequence (and the stale params['x0'] mutated by
+                    # shift_and_update) carry into the next trial's first
+                    # solve, exactly as in benchmark.ipynb[cell 4].
+                    for map_sample_i, traction_grid in enumerate(realizations):
+                        logger = trial(mppi_planner, traction_grid, cfg.dt,
+                                       max_steps, trial_params)
+                        logger.update(
+                            dirt_along_edge=sg_dict["dirt_along_edge"],
+                            grass_density=grass_density,
+                            grass_density_index=density_i,
+                            sem_map_index=sem_map_i,
+                            method=method, alpha=alpha,
+                            map_sample_index=map_sample_i)
+                        loggers.append(logger)
+
+                if verbose:
+                    t_elapsed = time.time() - t_alphas
+                    n = len(alpha_list) * len(realizations)
+                    print("{:.2f}s for {} alphas x {} realizations "
+                          "({:.2f}s per trial)".format(
+                              t_elapsed, len(alpha_list),
+                              len(realizations), t_elapsed / n))
+
+    return pd.DataFrame(loggers)
+
+
+def default_benchmark_params(cfg, grid_shape, mud_margin, max_speed=3.0):
+    """Default problem params of the reference benchmark
+    (reference: benchmark.ipynb[cell 5])."""
+    return dict(
+        dt=cfg.dt,
+        x0=np.array([mud_margin / 2, mud_margin / 2, np.pi / 4]),
+        xgoal=np.array([grid_shape[0] - mud_margin / 2,
+                        grid_shape[0] - mud_margin / 2]),
+        goal_tolerance=mud_margin / 2,
+        v_post_rollout=0.01,
+        cvar_alpha=1.0,
+        alpha_dyn=1.0,
+        lambda_weight=1.0,
+        num_opt=1,
+        u_std=np.array([2.0, 3.0]),
+        vrange=np.array([0, max_speed]),
+        wrange=np.array([-np.pi, np.pi]),
+    )
