@@ -207,6 +207,173 @@ def run_trials(orig_cfg, world, max_steps, grid_shape, mud_margin, res,
     return pd.DataFrame(loggers)
 
 
+def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
+                      res, default_mppi_params, grass_density_list,
+                      envs_per_density, trials_per_env, alpha_list,
+                      method_list=METHODS, seed=0, verbose=True):
+    """Device-batched factorial sweep: one fused program per (method, alpha)
+    runs ALL (density x env x realization) episodes concurrently on chip.
+
+    Same paired-environment generation and DataFrame schema as
+    ``run_trials``; trials are independent (no warm-start carry-over between
+    realizations — see ``device_sim`` docstring).  One executable per method
+    serves the whole alpha sweep (dynamic CVaR).  This is the TPU-native
+    answer to the reference's 2,421 s sequential benchmark loop.
+    """
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from .device_sim import make_device_trial_batch
+    from .solver import DYNAMIC_CVAR
+    from .types import MapInputs, TerrainTask
+    from .config import SolverStatic
+
+    rng = np.random.RandomState(seed)
+    xlimits = (0, grid_shape[1] * res)
+    ylimits = (0, grid_shape[0] * res)
+
+    # Pre-generate environments + ground-truth realizations (paired).
+    pregen_cfg = _cfg_for_method(orig_cfg, "noisy_dyn")
+    gen_tdm = TDM(pregen_cfg)
+    env_rows = []   # one row per (density, env, realization)
+    env_grids = {}  # (density_i, env_i) -> semantic grid
+    for density_i, grass_density in enumerate(grass_density_list):
+        for env_i in range(envs_per_density):
+            sg = make_semantic_grid(grid_shape, mud_margin, grass_density, rng)
+            env_grids[(density_i, env_i)] = sg
+            gen_tdm.reset()
+            gen_tdm.set_TDM_from_semantic_grid(
+                sg, res, world["num_pmf_bins"], world["bin_values"],
+                world["bin_values_bounds"], xlimits, ylimits,
+                world["id2name"], world["name2terrain"],
+                world["lin_terrain2pmf"])
+            for trial_i in range(trials_per_env):
+                tg = gen_tdm.sample_grids_true_dist()
+                env_rows.append(dict(density_i=density_i,
+                                     grass_density=grass_density,
+                                     env_i=env_i, trial_i=trial_i,
+                                     gt=tg))
+
+    B = len(env_rows)
+    gt_lin = jnp.asarray(np.stack([r["gt"].lin_traction for r in env_rows])
+                         .astype(np.float32))
+    gt_ang = jnp.asarray(np.stack([r["gt"].ang_traction for r in env_rows])
+                         .astype(np.float32))
+    gt_meta = jnp.asarray(np.tile(
+        np.array([0.0, 0.0, 1.0 / res], np.float32), (B, 1)))
+
+    loggers = []
+    for method in method_list:
+        cfg = _cfg_for_method(orig_cfg, method)
+        lin_tdm = TDM(cfg)
+        ang_tdm = TDM(cfg)
+        for alpha in alpha_list:
+            if verbose:
+                print("device sweep: method={} alpha={} ({} trials)".format(
+                    method, alpha, B))
+            det_alpha = None if method == "noisy_dyn" else alpha
+            cvar_alpha = alpha if method == "noisy_dyn" else 1.0
+            alpha_dyn = 1.0 if method == "noisy_dyn" else alpha
+
+            # Build per-env map tensors once, then index per trial row.
+            env_maps = {}
+            for key_env, sg in env_grids.items():
+                lin_tdm.reset()
+                ang_tdm.reset()
+                lin_tdm.set_TDM_from_semantic_grid(
+                    sg, res, world["num_pmf_bins"], world["bin_values"],
+                    world["bin_values_bounds"], xlimits, ylimits,
+                    world["id2name"], world["name2terrain"],
+                    world["lin_terrain2pmf"],
+                    det_dynamics_cvar_alpha=det_alpha)
+                ang_tdm.set_TDM_from_semantic_grid(
+                    sg, res, world["num_pmf_bins"], world["bin_values"],
+                    world["bin_values_bounds"], xlimits, ylimits,
+                    world["id2name"], world["name2terrain"],
+                    world["ang_terrain2pmf"],
+                    det_dynamics_cvar_alpha=det_alpha)
+                env_maps[key_env] = (
+                    np.asarray(lin_tdm.pmf_grid_device),
+                    np.asarray(ang_tdm.pmf_grid_device),
+                    np.asarray(lin_tdm.qbin_values),
+                    np.asarray(ang_tdm.qbin_values),
+                    np.asarray(lin_tdm.obstacle_map_device),
+                    np.asarray(lin_tdm.unknown_map_device),
+                    np.asarray(lin_tdm.risk_traction_map_device))
+
+            stacked = [np.stack([env_maps[(r["density_i"], r["env_i"])][i]
+                                 for r in env_rows]) for i in range(7)]
+            maps = MapInputs(*(jnp.asarray(s) for s in stacked))
+
+            p = default_mppi_params
+            f32 = np.float32
+            lb, ub = world["bin_values_bounds"]
+
+            def batched(v):
+                v = np.asarray(v, f32)
+                return jnp.asarray(np.broadcast_to(v, (B,) + v.shape).copy())
+
+            task = TerrainTask(
+                x0=batched(p["x0"]), xgoal=batched(p["xgoal"]),
+                goal_tolerance=batched(f32(p["goal_tolerance"])),
+                v_post_rollout=batched(f32(p["v_post_rollout"])),
+                lambda_weight=batched(f32(p["lambda_weight"])),
+                u_std=batched(p["u_std"]), vrange=batched(p["vrange"]),
+                wrange=batched(p["wrange"]), dt=batched(f32(p["dt"])),
+                dist_weight=batched(f32(p.get("dist_weight", 1.0))),
+                obs_penalty=batched(f32(p.get("obs_penalty", 1e5))),
+                unknown_penalty=batched(f32(p.get("unknown_penalty", 1e2))),
+                alpha_dyn=batched(f32(alpha_dyn)),
+                res=batched(f32(res)),
+                xlim0=batched(f32(lin_tdm.padded_xlimits[0])),
+                ylim0=batched(f32(lin_tdm.padded_ylimits[0])),
+                lin_lb=batched(f32(lb)),
+                lin_ratio=batched(f32(0.01 * (ub - lb))),
+                ang_lb=batched(f32(lb)),
+                ang_ratio=batched(f32(0.01 * (ub - lb))),
+                cvar_alpha=batched(f32(cvar_alpha)))
+
+            M = 1 if method != "noisy_dyn" else cfg.num_grid_samples
+            H, W = lin_tdm.get_padded_grid_xy_dim()
+            static = SolverStatic(
+                mode={"noisy_dyn": "tdm", "risk_dyn": "det_dyn",
+                      "nom_dyn_risk_cost": "speed_map"}[method],
+                num_steps=cfg.num_steps,
+                num_control_rollouts=cfg.num_control_rollouts,
+                num_grid_samples=M, map_shape=(H, W), num_obstacles=0,
+                cvar_numel=DYNAMIC_CVAR if M > 1 else 1, num_opt=1,
+                num_vis_state_rollouts=1)
+
+            trial_batch = make_device_trial_batch(static, max_steps)
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.PRNGKey(cfg.seed), jnp.arange(B))
+            result = jax.tree.map(np.asarray,
+                                  trial_batch(keys, maps, task, gt_lin,
+                                              gt_ang, gt_meta))
+
+            for bi, row in enumerate(env_rows):
+                success = bool(result.success[bi])
+                loggers.append(dict(
+                    time_to_goal=(result.steps[bi] * cfg.dt
+                                  if success else np.nan),
+                    success=success,
+                    dist_to_goal=(np.nan if success
+                                  else float(result.dist_to_goal[bi])),
+                    cum_dist_to_goal=float(result.cum_dist_to_goal[bi]),
+                    avg_dist_to_goal=float(result.cum_dist_to_goal[bi]
+                                           / max(int(result.steps[bi]), 1)),
+                    cum_obj=float(result.cum_obj[bi]),
+                    dirt_along_edge=True,
+                    grass_density=row["grass_density"],
+                    grass_density_index=row["density_i"],
+                    sem_map_index=row["env_i"],
+                    method=method, alpha=alpha,
+                    map_sample_index=row["trial_i"]))
+
+    return pd.DataFrame(loggers)
+
+
 def default_benchmark_params(cfg, grid_shape, mud_margin, max_speed=3.0):
     """Default problem params of the reference benchmark
     (reference: benchmark.ipynb[cell 5])."""

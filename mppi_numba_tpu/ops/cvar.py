@@ -31,3 +31,18 @@ def cvar_from_costs(costs_km, cvar_numel):
         return jnp.mean(costs_km, axis=-1)
     worst, _ = jax.lax.top_k(costs_km, cvar_numel)
     return jnp.mean(worst, axis=-1)
+
+
+def cvar_from_costs_dynamic(costs_km, cvar_alpha):
+    """CVaR with a TRACED alpha: sort descending + masked mean.
+
+    One compiled executable then serves every alpha in a sweep (the
+    benchmark sweeps 5 alphas; reference recompiles nothing because it is
+    interpreted, we avoid 5 XLA compiles).  Slightly more work than top_k
+    (full sort), identical semantics: mean of the worst ceil(M * alpha).
+    """
+    M = costs_km.shape[-1]
+    srt = -jnp.sort(-costs_km, axis=-1)                  # descending
+    numel = jnp.ceil(M * cvar_alpha).astype(jnp.int32)
+    mask = (jnp.arange(M) < numel).astype(costs_km.dtype)
+    return (srt * mask).sum(-1) / numel.astype(costs_km.dtype)

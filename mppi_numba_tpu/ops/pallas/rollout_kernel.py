@@ -56,18 +56,20 @@ def pallas_rollout_supported(num_grid_samples, map_hw, vmem_budget=VMEM_BUDGET):
 def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
                     *, T, H, W, n_chunks, speed_map):
     f32 = jnp.float32
-    x0x, x0y, x0th = task_ref[0], task_ref[1], task_ref[2]
-    gx, gy = task_ref[3], task_ref[4]
-    tol = task_ref[5]
-    v_post = task_ref[6]
-    dt = task_ref[7]
-    dist_w = task_ref[8]
-    obs_pen = task_ref[9]
-    unk_pen = task_ref[10]
-    inv_res = task_ref[11]
-    xlim0, ylim0 = task_ref[12], task_ref[13]
-    lin_lb, lin_ratio = task_ref[14], task_ref[15]
-    ang_lb, ang_ratio = task_ref[16], task_ref[17]
+    # Task scalars live in row 0 of an (8, 128) VMEM tile — 2D so the kernel
+    # batches cleanly under vmap (device-resident episode batches).
+    x0x, x0y, x0th = task_ref[0, 0], task_ref[0, 1], task_ref[0, 2]
+    gx, gy = task_ref[0, 3], task_ref[0, 4]
+    tol = task_ref[0, 5]
+    v_post = task_ref[0, 6]
+    dt = task_ref[0, 7]
+    dist_w = task_ref[0, 8]
+    obs_pen = task_ref[0, 9]
+    unk_pen = task_ref[0, 10]
+    inv_res = task_ref[0, 11]
+    xlim0, ylim0 = task_ref[0, 12], task_ref[0, 13]
+    lin_lb, lin_ratio = task_ref[0, 14], task_ref[0, 15]
+    ang_lb, ang_ratio = task_ref[0, 16], task_ref[0, 17]
     tol2 = tol * tol
 
     m_tile = cost_ref.shape[0]
@@ -134,7 +136,7 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
 
     Args:
       packed_words: int32 ``(M, H, W)`` packed map words.
-      task_vec: float32 ``(18,)`` scalar block (see ``_rollout_kernel``).
+      task_vec: float32 ``(8, 128)`` scalar tile (see ``_rollout_kernel``).
       v_all / w_all: float32 ``(T, K)`` pre-clipped noisy controls, K a
         multiple of 128 (solver pads + masks).
 
@@ -164,7 +166,8 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((m_pad, K), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, LANES), lambda mi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_chunks, m_tile, LANES),
                          lambda mi, ki: (0, mi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, LANES), lambda mi, ki: (0, ki),
@@ -180,8 +183,8 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
 
 
 def build_task_vec(task):
-    """Pack the TerrainTask scalars the kernel needs into an f32 vector."""
-    return jnp.stack([
+    """Pack the TerrainTask scalars the kernel needs into an (8, 128) tile."""
+    vec = jnp.stack([
         task.x0[0], task.x0[1], task.x0[2],
         task.xgoal[0], task.xgoal[1],
         task.goal_tolerance, task.v_post_rollout, task.dt,
@@ -189,3 +192,5 @@ def build_task_vec(task):
         1.0 / task.res, task.xlim0, task.ylim0,
         task.lin_lb, task.lin_ratio, task.ang_lb, task.ang_ratio,
     ]).astype(jnp.float32)
+    tile = jnp.zeros((8, LANES), jnp.float32)
+    return jax.lax.dynamic_update_slice(tile, vec[None], (0, 0))

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverStatic
-from .ops.cvar import cvar_from_costs
+from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
+
+# Sentinel for SolverStatic.cvar_numel: read the traced task.cvar_alpha
+# instead of specializing the executable on a fixed top-k size.
+DYNAMIC_CVAR = -1
 from .ops.packing import pack_map_words
 from .ops.pallas.rollout_kernel import (LANES, build_task_vec,
                                         pallas_rollout_supported,
@@ -102,7 +106,11 @@ def get_terrain_solver(static: SolverStatic):
         for i in range(static.num_opt):
             noise = sample_noise(jax.random.fold_in(knoise, i), task.u_std, K, T)
             costs_km = rollout(packed, task, u, noise)
-            costs = (cvar_from_costs(costs_km, static.cvar_numel)
+            if static.cvar_numel == DYNAMIC_CVAR:
+                cvar = cvar_from_costs_dynamic(costs_km, task.cvar_alpha)
+            else:
+                cvar = cvar_from_costs(costs_km, static.cvar_numel)
+            costs = (cvar
                      + control_coupling(u, noise, task.u_std, task.lambda_weight))
             u, weights = update_useq(costs, noise, u, task.lambda_weight,
                                      task.vrange, task.wrange)

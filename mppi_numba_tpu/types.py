@@ -36,6 +36,9 @@ class TerrainTask(NamedTuple):
     lin_ratio: object
     ang_lb: object
     ang_ratio: object
+    # Only read when SolverStatic.cvar_numel == DYNAMIC_CVAR (-1): traced
+    # CVaR risk level, letting one executable serve a whole alpha sweep.
+    cvar_alpha: object = None
 
 
 class MapInputs(NamedTuple):
