@@ -1,0 +1,73 @@
+"""Profiling and timing utilities (SURVEY §5.1).
+
+The reference's observability is ``time.time()`` prints around memory init
+and per-sweep timers.  Here:
+
+* ``solve_timer`` — an honest latency measurement helper.  Naive
+  ``block_until_ready`` timing is unreliable when the host<->device link is
+  high-latency and dispatch is asynchronous, so the timer CHAINS N calls on
+  device (output feeds the next input) and fetches once.
+* ``trace`` — context manager around ``jax.profiler`` producing a
+  TensorBoard-compatible trace directory with per-kernel cost breakdowns.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir="/tmp/mppi_trace"):
+    """Capture an XLA/TPU profiler trace around a code block."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def chained_solve_time(solve_fn, maps, task, u0, num_iters=30,
+                       key=None, fetch_rtt_s=0.0):
+    """Median-free, pipelining-proof per-solve latency.
+
+    Runs ``num_iters`` solves inside one jitted ``fori_loop`` where the
+    optimized sequence of solve i seeds solve i+1 (a real receding-horizon
+    dependency chain), fetches the final result once, and divides.  Pass the
+    measured host fetch round-trip as ``fetch_rtt_s`` to subtract it.
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    @jax.jit
+    def chain(key, u0):
+        def body(i, carry):
+            u, key = carry
+            key, sub = jax.random.split(key)
+            u, _ = solve_fn(sub, maps, task, u)
+            return (u, key)
+        u, _ = jax.lax.fori_loop(0, num_iters, body, (u0, key))
+        return u
+
+    u = chain(key, u0)
+    np.asarray(u)  # compile + warm
+    t0 = time.perf_counter()
+    u = chain(jax.random.fold_in(key, 1), jnp.zeros_like(u0))
+    np.asarray(u)
+    total = time.perf_counter() - t0 - fetch_rtt_s
+    return total / num_iters
+
+
+def measure_fetch_rtt(n=5):
+    """Estimate the host<->device fetch round trip for timing correction."""
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(x * 1.0)
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        np.asarray(x + float(i))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
