@@ -56,7 +56,7 @@ def build_flagship(K=1024, M=1024, T=100, H=15, W=15, B=22, cvar_alpha=0.2):
                           num_grid_samples=M, map_shape=(H, W),
                           num_obstacles=0,
                           cvar_numel=math.ceil(M * cvar_alpha), num_opt=1,
-                          num_vis_state_rollouts=1)
+                          num_vis_state_rollouts=1, fast_trig=True)
     return static, maps, task
 
 

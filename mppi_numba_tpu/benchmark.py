@@ -343,7 +343,9 @@ def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
                 num_control_rollouts=cfg.num_control_rollouts,
                 num_grid_samples=M, map_shape=(H, W), num_obstacles=0,
                 cvar_numel=DYNAMIC_CVAR if M > 1 else 1, num_opt=1,
-                num_vis_state_rollouts=1)
+                num_vis_state_rollouts=1,
+                fast_trig=(float(p["dt"]) * float(np.max(np.abs(p["wrange"])))
+                           * float(ub) <= 0.6))
 
             trial_batch = make_device_trial_batch(static, max_steps)
             keys = jax.vmap(jax.random.fold_in, (None, 0))(

@@ -152,3 +152,8 @@ class SolverStatic:
     num_opt: int               # optimization iterations per solve
     num_vis_state_rollouts: int
     backend: str = "auto"      # 'pallas' | 'xla' | 'auto' (pallas on TPU when it fits)
+    # Approximate per-step rotation instead of full-range sin/cos in the
+    # Pallas kernel — the analog of the reference's CUDA fastmath.  Safe when
+    # per-step heading increments are small; the planner enables it when
+    # dt * max|wrange| * max_ang_traction <= 0.6.
+    fast_trig: bool = False

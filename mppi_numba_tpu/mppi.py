@@ -144,6 +144,11 @@ class MPPIPlanner:
             cvar_numel = int(math.ceil(M * alpha))
         else:
             cvar_numel = 1
+        # Fast rotation updates are accurate when per-step heading increments
+        # stay small; mirror the reference's fastmath trig under that guard.
+        ang_ub = float(self.ang_tdm.bin_values_bounds[1])
+        max_dth = (float(self.params["dt"])
+                   * float(np.max(np.abs(self.params["wrange"]))) * ang_ub)
         return SolverStatic(
             mode=mode,
             num_steps=self.num_steps,
@@ -154,6 +159,7 @@ class MPPIPlanner:
             cvar_numel=cvar_numel,
             num_opt=int(self.params.get("num_opt", 1)),
             num_vis_state_rollouts=self.num_vis_state_rollouts,
+            fast_trig=max_dth <= 0.6,
         )
 
     def _map_inputs(self):

@@ -54,7 +54,7 @@ def pallas_rollout_supported(num_grid_samples, map_hw, vmem_budget=VMEM_BUDGET):
 
 
 def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
-                    *, T, H, W, n_chunks, speed_map):
+                    *, T, H, W, n_chunks, speed_map, fast_trig):
     f32 = jnp.float32
     # Task scalars live in row 0 of an (8, 128) VMEM tile — 2D so the kernel
     # batches cleanly under vmap (device-resident episode batches).
@@ -76,7 +76,10 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
     shape = (m_tile, LANES)
 
     def step(t, carry):
-        x, y, th, cost, dist2, reachedf = carry
+        # ``hd`` is the heading: theta itself in exact mode, (cos, sin) in
+        # fast-trig mode (the heading only ever enters through cos/sin, so
+        # the rotation form needs no inverse).
+        x, y, hd, cost, dist2, reachedf = carry
         v_t = v_ref[t, :].reshape(1, LANES)
         w_t = w_ref[t, :].reshape(1, LANES)
 
@@ -97,9 +100,24 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
         obs = ((words >> 16) & 1).astype(f32)
         unk = ((words >> 17) & 1).astype(f32)
 
-        x_new = x + dt * lin_tr * v_t * jnp.cos(th)
-        y_new = y + dt * lin_tr * v_t * jnp.sin(th)
-        th_new = th + dt * ang_tr * w_t
+        dth = dt * ang_tr * w_t
+        if fast_trig:
+            # Per-step heading increments are small (|dth| <= dt*wmax), so a
+            # degree-4/5 Maclaurin rotation replaces two full-range
+            # transcendentals — the TPU analog of the reference's CUDA
+            # fastmath sin/cos (reference: mppi_numba/mppi.py:614 fastmath=True).
+            cth, sth = hd
+            z2 = dth * dth
+            cd = 1.0 - z2 * (0.5 - z2 * (1.0 / 24.0))
+            sd = dth * (1.0 - z2 * ((1.0 / 6.0) - z2 * (1.0 / 120.0)))
+            hd_new = (cth * cd - sth * sd, sth * cd + cth * sd)
+        else:
+            th = hd
+            cth, sth = jnp.cos(th), jnp.sin(th)
+            hd_new = th + dth
+
+        x_new = x + dt * lin_tr * v_t * cth
+        y_new = y + dt * lin_tr * v_t * sth
 
         dist2_new = (gx - x_new) ** 2 + (gy - y_new) ** 2
         if speed_map:
@@ -114,23 +132,33 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
         cost = cost + active * step_cost
         x = x + active * (x_new - x)
         y = y + active * (y_new - y)
-        th = th + active * (th_new - th)
+        if fast_trig:
+            hd = (hd[0] + active * (hd_new[0] - hd[0]),
+                  hd[1] + active * (hd_new[1] - hd[1]))
+        else:
+            hd = hd + active * (hd_new - hd)
         dist2 = dist2 + active * (dist2_new - dist2)
         reachedf = jnp.maximum(reachedf,
                                active * (dist2_new <= tol2).astype(f32))
-        return x, y, th, cost, dist2, reachedf
+        return x, y, hd, cost, dist2, reachedf
 
+    if fast_trig:
+        hd0 = (jnp.full(shape, jnp.cos(x0th), f32),
+               jnp.full(shape, jnp.sin(x0th), f32))
+    else:
+        hd0 = jnp.full(shape, x0th, f32)
     init = (jnp.full(shape, x0x, f32), jnp.full(shape, x0y, f32),
-            jnp.full(shape, x0th, f32), jnp.zeros(shape, f32),
+            hd0, jnp.zeros(shape, f32),
             jnp.full(shape, 1e9, f32), jnp.zeros(shape, f32))
-    x, y, th, cost, dist2, reachedf = jax.lax.fori_loop(0, T, step, init)
+    x, y, hd, cost, dist2, reachedf = jax.lax.fori_loop(0, T, step, init)
     cost_ref[:] = cost + (1.0 - reachedf) * jnp.sqrt(dist2) / (v_post + 1e-6)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("H", "W", "T", "speed_map", "interpret"))
+                   static_argnames=("H", "W", "T", "speed_map", "fast_trig",
+                                    "interpret"))
 def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
-                                 *, H, W, T, speed_map=False,
+                                 *, H, W, T, speed_map=False, fast_trig=False,
                                  interpret=False):
     """Fused rollout on TPU.
 
@@ -160,7 +188,8 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
 
     grid = (m_pad // m_tile, K // LANES)
     kernel = functools.partial(_rollout_kernel, T=T, H=H, W=W,
-                               n_chunks=n_chunks, speed_map=speed_map)
+                               n_chunks=n_chunks, speed_map=speed_map,
+                               fast_trig=fast_trig)
     costs_mk = pl.pallas_call(
         kernel,
         grid=grid,

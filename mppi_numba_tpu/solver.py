@@ -80,7 +80,8 @@ def get_terrain_solver(static: SolverStatic):
                 w_all = jnp.pad(w_all, ((0, 0), (0, k_pad - K)))
             costs_km = terrain_rollout_costs_pallas(
                 packed, build_task_vec(task), v_all, w_all,
-                H=H, W=W, T=T, speed_map=speed_map)
+                H=H, W=W, T=T, speed_map=speed_map,
+                fast_trig=static.fast_trig)
             return costs_km[:K]
         return terrain_rollout_costs(packed, task, u, noise,
                                      speed_map=speed_map)
