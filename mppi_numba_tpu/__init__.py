@@ -16,7 +16,8 @@ from .density import Density, GaussianMixture
 from .terrain import (TDM, TDM_Numba, Terrain, TractionGrid,
                       cvar_bin_for_terrain_pmf, cvar_value_for_terrain_pmf,
                       condense_pmf_grid_det, risk_map_from_pmf_grid,
-                      quantize_pmf_int8)
+                      quantize_pmf_int8, unknown_mask_from_confidence,
+                      sample_realization_from_pmf_grid)
 from .mppi import MPPIPlanner, MPPI_Numba
 from .barebone import BareboneConfig, BareboneMPPI
 from .types import TerrainTask, MapInputs, BareboneTask, SolveAux
@@ -32,6 +33,7 @@ __all__ = [
     "TDM", "TDM_Numba", "Terrain", "TractionGrid",
     "cvar_bin_for_terrain_pmf", "cvar_value_for_terrain_pmf",
     "condense_pmf_grid_det", "risk_map_from_pmf_grid", "quantize_pmf_int8",
+    "unknown_mask_from_confidence", "sample_realization_from_pmf_grid",
     "MPPIPlanner", "MPPI_Numba",
     "BareboneConfig", "BareboneMPPI",
     "TerrainTask", "MapInputs", "BareboneTask", "SolveAux",

@@ -210,7 +210,8 @@ def run_trials(orig_cfg, world, max_steps, grid_shape, mud_margin, res,
 def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
                       res, default_mppi_params, grass_density_list,
                       envs_per_density, trials_per_env, alpha_list,
-                      method_list=METHODS, seed=0, verbose=True):
+                      method_list=METHODS, seed=0, verbose=True,
+                      batch_chunk=30):
     """Device-batched factorial sweep: one fused program per (method, alpha)
     runs ALL (density x env x realization) episodes concurrently on chip.
 
@@ -219,6 +220,12 @@ def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
     realizations — see ``device_sim`` docstring).  One executable per method
     serves the whole alpha sweep (dynamic CVaR).  This is the TPU-native
     answer to the reference's 2,421 s sequential benchmark loop.
+
+    ``batch_chunk`` caps the episodes per device call (the last chunk is
+    padded to the same shape so every chunk reuses one executable): a single
+    execution covering the full batch can run for minutes on-device, which
+    trips worker/RPC execution deadlines on tethered TPU runtimes.  ``None``
+    runs the whole batch in one call.
     """
     import jax
     import jax.numpy as jnp
@@ -350,9 +357,23 @@ def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
             trial_batch = make_device_trial_batch(static, max_steps)
             keys = jax.vmap(jax.random.fold_in, (None, 0))(
                 jax.random.PRNGKey(cfg.seed), jnp.arange(B))
-            result = jax.tree.map(np.asarray,
-                                  trial_batch(keys, maps, task, gt_lin,
-                                              gt_ang, gt_meta))
+
+            chunk = B if batch_chunk is None else min(batch_chunk, B)
+
+            def take(tree, lo):
+                # Fixed-size slice (pads past the end by clamping) so every
+                # chunk hits the same executable.
+                idx = jnp.clip(jnp.arange(lo, lo + chunk), 0, B - 1)
+                return jax.tree.map(lambda x: x[idx], tree)
+
+            parts = []
+            for lo in range(0, B, chunk):
+                out = trial_batch(take(keys, lo), take(maps, lo),
+                                  take(task, lo), take(gt_lin, lo),
+                                  take(gt_ang, lo), take(gt_meta, lo))
+                parts.append(jax.tree.map(np.asarray, out))
+            result = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0)[:B], *parts)
 
             for bi, row in enumerate(env_rows):
                 success = bool(result.success[bi])

@@ -611,3 +611,50 @@ class TractionGrid:
 
     def get_grids(self):
         return self.lin_traction, self.ang_traction
+
+
+def unknown_mask_from_confidence(normalized_confidence, conf_thres,
+                                 unknown_colors_mask=None):
+    """Unknown-cell mask from a terrain detector's confidence scores.
+
+    The reference's confidence-score workflow (reference: README.md:115,
+    tdm_models/*/tdm_info.pickle fields ``normalized_confidence`` and
+    ``unknown_colors_mask``) marks cells whose detector confidence falls
+    below ``conf_thres`` — plus cells with no semantic observation at all —
+    as "unknown", which the rollout penalizes via ``unknown_penalty``.
+
+    Returns an int8 ``(H, W)`` mask suitable for
+    ``TDM.set_TDM_from_PMF_grid(..., unknown_map=...)``.
+    """
+    mask = np.asarray(normalized_confidence) < conf_thres
+    if unknown_colors_mask is not None:
+        mask = mask | (np.asarray(unknown_colors_mask) != 0)
+    return mask.astype(np.int8)
+
+
+def sample_realization_from_pmf_grid(lin_pmf_grid, ang_pmf_grid, bin_values,
+                                     rng, res=1.0, xlimits=None,
+                                     ylimits=None):
+    """Draw ONE ground-truth traction realization from int8 PMF grids.
+
+    Counterpart of ``TDM.sample_grids_true_dist`` for the external-PMF
+    (learned-model) path, where no semantic ``Terrain`` densities exist and
+    the per-cell PMF itself is the best available generative model
+    (reference: the missing ``confidence_score_example_vis.ipynb`` workflow,
+    README.md:115 — simulate realizations from the learned distributions).
+
+    Per cell, a bin is drawn with probability ``pmf[bin] / 100`` and the
+    realized traction is ``bin_values[bin]``.  Returns a ``TractionGrid``.
+    """
+    bin_values = np.asarray(bin_values, dtype=np.float64)
+
+    def draw(pmf_grid):
+        pmf = np.asarray(pmf_grid, dtype=np.int64)
+        B, H, W = pmf.shape
+        cum = np.cumsum(pmf.reshape(B, -1), axis=0)        # (B, H*W)
+        u = rng.randint(1, 101, size=cum.shape[1])          # U{1..100}
+        idx = np.argmax(u[None, :] <= cum, axis=0)          # first bin covering u
+        return bin_values[idx].reshape(H, W)
+
+    return TractionGrid(draw(lin_pmf_grid), draw(ang_pmf_grid), res=res,
+                        xlimits=xlimits, ylimits=ylimits)

@@ -9,9 +9,12 @@ experiment config to mppi_benchmark/ (same keys as the reference pickle).
 
 import os
 import pickle
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import mppi_numba_tpu as m
 from mppi_numba_tpu.benchmark import run_trials_device

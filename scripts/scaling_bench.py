@@ -12,11 +12,15 @@ Efficiency(N) = throughput(N) / (N * throughput(1)).
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mppi_numba_tpu.config import SolverStatic
 from mppi_numba_tpu.parallel.mesh import make_mesh
