@@ -59,7 +59,11 @@ class Config:
                  use_tdm=False,
                  use_det_dynamics=False,
                  use_nom_dynamics_with_speed_map=False,
-                 use_costmap=False):
+                 use_costmap=False,
+                 model="unicycle"):         # dynamics model (models registry)
+        from .models import get_step_fn
+        get_step_fn(model)                  # fail fast on unknown names
+        self.model = model
         self.seed = seed
         self.use_tdm = use_tdm
         self.use_det_dynamics = use_det_dynamics
@@ -157,3 +161,7 @@ class SolverStatic:
     # per-step heading increments are small; the planner enables it when
     # dt * max|wrange| * max_ang_traction <= 0.6.
     fast_trig: bool = False
+    # Dynamics model name (see ``models.get_step_fn``).  Non-unicycle models
+    # run on the XLA rollout path (the fused Pallas kernel implements the
+    # default unicycle only).
+    model: str = "unicycle"

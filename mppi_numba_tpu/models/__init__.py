@@ -1,3 +1,41 @@
-from .unicycle import unicycle_step, clip_controls
+"""Pluggable dynamics models.
 
-__all__ = ["unicycle_step", "clip_controls"]
+The reference hard-codes the unicycle Euler update inside every CUDA kernel
+because Numba cannot dispatch through objects on device (reference:
+mppi_numba/mppi.py:6-7, 677-694).  Here a model is a pure step function
+
+    step(x, y, th, v, w, lin_traction, ang_traction, dt) -> (x, y, th)
+
+over batched arrays, selected by name via ``SolverStatic.model`` (names keep
+the jit cache key hashable).  The fused Pallas rollout kernel implements the
+default unicycle only; other models run on the XLA rollout path, which the
+solver selects automatically.
+"""
+
+from __future__ import annotations
+
+from .unicycle import unicycle_step, clip_controls
+from .bicycle import bicycle_step, make_bicycle_step
+
+_REGISTRY = {
+    "unicycle": unicycle_step,
+    "bicycle": bicycle_step,
+}
+
+
+def register_model(name, step_fn):
+    """Register a custom dynamics step function under ``name``."""
+    _REGISTRY[name] = step_fn
+
+
+def get_step_fn(name):
+    """Resolve a registered model name to its step function."""
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError("unknown dynamics model {!r}; registered: {}".format(
+            name, sorted(_REGISTRY))) from None
+
+
+__all__ = ["unicycle_step", "clip_controls", "bicycle_step",
+           "make_bicycle_step", "register_model", "get_step_fn"]

@@ -160,6 +160,7 @@ class MPPIPlanner:
             num_opt=int(self.params.get("num_opt", 1)),
             num_vis_state_rollouts=self.num_vis_state_rollouts,
             fast_trig=max_dth <= 0.6,
+            model=getattr(self.cfg, "model", "unicycle"),
         )
 
     def _map_inputs(self):

@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..models import unicycle_step
 from .costs import stage_cost, term_cost, barebone_stage_cost, barebone_term_cost
 
 
@@ -38,7 +39,8 @@ def _clipped_controls_tk(u_cur, noise, vrange, wrange):
     return v, w
 
 
-def terrain_rollout_costs(packed_words, task, u_cur, noise, *, speed_map=False):
+def terrain_rollout_costs(packed_words, task, u_cur, noise, *, speed_map=False,
+                          step_fn=unicycle_step):
     """Roll out K noisy control sequences over M sampled traction maps.
 
     Args:
@@ -48,6 +50,9 @@ def terrain_rollout_costs(packed_words, task, u_cur, noise, *, speed_map=False):
       noise: float32 ``(K, T, 2)`` control perturbations.
       speed_map: static — scale the time cost by the CVaR speed map
         (reference: mppi_numba/mppi.py:1095-1096).
+      step_fn: static dynamics step ``(x, y, th, v, w, lin_tr, ang_tr, dt)
+        -> (x, y, th)`` (see ``models``); defaults to the reference's
+        traction-scaled unicycle.
 
     Returns:
       float32 ``(K, M)`` rollout costs including the terminal cost but
@@ -83,11 +88,8 @@ def terrain_rollout_costs(packed_words, task, u_cur, noise, *, speed_map=False):
         obs = ((words >> 16) & 1).astype(f32)
         unk = ((words >> 17) & 1).astype(f32)
 
-        v = v_t[:, None]
-        w = w_t[:, None]
-        x_new = x + dt * lin_tr * v * jnp.cos(th)
-        y_new = y + dt * lin_tr * v * jnp.sin(th)
-        th_new = th + dt * ang_tr * w
+        x_new, y_new, th_new = step_fn(x, y, th, v_t[:, None], w_t[:, None],
+                                       lin_tr, ang_tr, dt)
 
         dist2_new = (gx - x_new) ** 2 + (gy - y_new) ** 2
         if speed_map:
@@ -129,7 +131,8 @@ def control_coupling(u_cur, noise, u_std, lambda_weight):
     return lambda_weight * jnp.sum(noise * scaled[None], axis=(1, 2))
 
 
-def terrain_vis_states(packed_words, task, controls):
+def terrain_vis_states(packed_words, task, controls, *,
+                       step_fn=unicycle_step):
     """Noise-free-dynamics state rollouts for visualization.
 
     Args:
@@ -139,6 +142,7 @@ def terrain_vis_states(packed_words, task, controls):
       controls: float32 ``(V, T, 2)`` final per-rollout controls (callers
         pre-add noise / pre-clip to mirror the reference vis kernels,
         reference: mppi_numba/mppi.py:1194-1351).
+      step_fn: static dynamics step (see ``terrain_rollout_costs``).
 
     Returns:
       float32 ``(V, T+1, 3)`` state trajectories (no goal break — the
@@ -164,9 +168,7 @@ def terrain_vis_states(packed_words, task, controls):
         words = jnp.take(packed_flat, yi * W + xi + v_off)        # (V,)
         lin_tr = lin_lb + lin_ratio * (words & 0xFF).astype(f32)
         ang_tr = ang_lb + ang_ratio * ((words >> 8) & 0xFF).astype(f32)
-        x = x + dt * lin_tr * u_t[:, 0] * jnp.cos(th)
-        y = y + dt * lin_tr * u_t[:, 0] * jnp.sin(th)
-        th = th + dt * ang_tr * u_t[:, 1]
+        x, y, th = step_fn(x, y, th, u_t[:, 0], u_t[:, 1], lin_tr, ang_tr, dt)
         return (x, y, th), jnp.stack([x, y, th], axis=-1)
 
     x0 = jnp.broadcast_to(task.x0[0].astype(f32), (V,))

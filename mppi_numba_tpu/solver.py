@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverStatic
+from .models import get_step_fn
 from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 
 # Sentinel for SolverStatic.cvar_numel: read the traced task.cvar_alpha
@@ -46,7 +47,7 @@ def resolve_backend(static: SolverStatic) -> str:
     """
     if static.backend != "auto":
         return static.backend
-    if static.mode == "barebone":
+    if static.mode == "barebone" or static.model != "unicycle":
         return "xla"
     H, W = static.map_shape
     if (jax.default_backend() == "tpu"
@@ -69,6 +70,7 @@ def get_terrain_solver(static: SolverStatic):
     speed_map = static.mode == "speed_map"
     backend = resolve_backend(static)
     H, W = static.map_shape
+    step_fn = get_step_fn(static.model)
 
     def rollout(packed, task, u, noise):
         if backend == "pallas":
@@ -84,7 +86,7 @@ def get_terrain_solver(static: SolverStatic):
                 fast_trig=static.fast_trig)
             return costs_km[:K]
         return terrain_rollout_costs(packed, task, u, noise,
-                                     speed_map=speed_map)
+                                     speed_map=speed_map, step_fn=step_fn)
 
     def solve_fn(key, maps, task, u0):
         kmap, knoise = jax.random.split(key)
@@ -135,6 +137,7 @@ def get_terrain_vis(static: SolverStatic):
     """
     V = static.num_vis_state_rollouts
     det = static.mode in ("det_dyn", "speed_map")
+    step_fn = get_step_fn(static.model)
 
     def vis_fn(maps, task, u_cur, u_prev, noise_vis, lin_grids, ang_grids):
         if det:
@@ -151,7 +154,7 @@ def get_terrain_vis(static: SolverStatic):
             grids_a = ang_grids[:V]
             controls = jnp.broadcast_to(u_cur[None], (V,) + u_cur.shape)
         packed = pack_map_words(grids_l, grids_a, maps.obstacle, maps.unknown)
-        return terrain_vis_states(packed, task, controls)
+        return terrain_vis_states(packed, task, controls, step_fn=step_fn)
 
     return jax.jit(vis_fn)
 

@@ -5,10 +5,20 @@
 
 Reference wall-clock on RTX 3070: 2,421 s.  Saves the DataFrame + full
 experiment config to mppi_benchmark/ (same keys as the reference pickle).
+
+Each (method, alpha) sweep runs in its OWN subprocess and lands in a
+partial pickle: the tethered TPU worker occasionally crashes/restarts under
+sustained load, and a wedged JAX client cannot recover in-process.  The
+parent retries failed sweeps and finally aggregates.  Environments and
+ground-truth realizations are regenerated identically in every subprocess
+(fixed seeds, fixed generation order), so trials stay PAIRED across methods
+exactly like the reference's pre-generated env table.
 """
 
+import argparse
 import os
 import pickle
+import subprocess
 import sys
 import time
 
@@ -16,33 +26,87 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import mppi_numba_tpu as m
-from mppi_numba_tpu.benchmark import run_trials_device
+GRASS_DENSITY_LIST = [1.0, 0.7, 0.4, 0.1]
+ENVS_PER_DENSITY = 10
+TRIALS_PER_ENV = 3
+ALPHA_LIST = [1.0, 0.8, 0.6, 0.4, 0.2]
+METHOD_LIST = ["noisy_dyn", "risk_dyn", "nom_dyn_risk_cost"]
+GRID_SHAPE = (9, 9)
+MUD_MARGIN = 1
+RES = 1.0
+MAX_STEPS = 150
+OUT_DIR = "mppi_benchmark"
 
 
-def main():
+def build_problem():
+    import mppi_numba_tpu as m
     world = m.make_benchmark_world(num_bins=20, rng=np.random.RandomState(0))
     cfg = m.Config(T=10.0, dt=0.1, num_grid_samples=1024,
                    num_control_rollouts=1024, max_speed_padding=5.0,
                    num_vis_state_rollouts=50, max_map_dim=(15, 15), seed=1,
                    use_tdm=True)
-    grid_shape = (9, 9)
-    mud_margin = 1
-    res = 1.0
-    max_steps = 150
-    default_mppi_params = m.default_benchmark_params(cfg, grid_shape,
-                                                     mud_margin)
-    grass_density_list = [1.0, 0.7, 0.4, 0.1]
-    envs_per_density = 10
-    trials_per_env = 3
-    alpha_list = [1.0, 0.8, 0.6, 0.4, 0.2]
-    method_list = ["noisy_dyn", "risk_dyn", "nom_dyn_risk_cost"]
+    params = m.default_benchmark_params(cfg, GRID_SHAPE, MUD_MARGIN)
+    return world, cfg, params
+
+
+def sweep_path(method, alpha):
+    return os.path.join(OUT_DIR, "partial_{}_{}.pickle".format(method, alpha))
+
+
+def run_one_sweep(method, alpha):
+    """Child-process entry: one (method, alpha) sweep -> partial pickle."""
+    from mppi_numba_tpu.benchmark import run_trials_device
+    world, cfg, params = build_problem()
+    df = run_trials_device(cfg, world, MAX_STEPS, GRID_SHAPE, MUD_MARGIN,
+                           RES, params, GRASS_DENSITY_LIST, ENVS_PER_DENSITY,
+                           TRIALS_PER_ENV, [alpha], [method], verbose=True)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    df.to_pickle(sweep_path(method, alpha))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sweep", nargs=2, metavar=("METHOD", "ALPHA"),
+                        help="internal: run one (method, alpha) sweep")
+    parser.add_argument("--retries", type=int, default=2)
+    args = parser.parse_args()
+
+    if args.sweep:
+        run_one_sweep(args.sweep[0], float(args.sweep[1]))
+        return
+
+    import pandas as pd
 
     t0 = time.time()
-    df = run_trials_device(cfg, world, max_steps, grid_shape, mud_margin,
-                           res, default_mppi_params, grass_density_list,
-                           envs_per_density, trials_per_env, alpha_list,
-                           method_list, verbose=True)
+    pending = [(meth, a) for meth in METHOD_LIST for a in ALPHA_LIST]
+    for attempt in range(args.retries + 1):
+        failed = []
+        for meth, a in pending:
+            if os.path.exists(sweep_path(meth, a)):
+                print("sweep {} alpha={}: cached".format(meth, a))
+                continue
+            print("sweep {} alpha={}: launching".format(meth, a), flush=True)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--sweep", meth, str(a)],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            if r.returncode != 0:
+                print("sweep {} alpha={} FAILED (rc={})".format(meth, a,
+                                                                r.returncode))
+                failed.append((meth, a))
+                time.sleep(20)      # give a crashed worker time to restart
+        pending = failed
+        if not pending:
+            break
+        print("retrying {} failed sweeps (attempt {}/{})".format(
+            len(pending), attempt + 2, args.retries + 1))
+    if pending:
+        print("GIVING UP on sweeps:", pending)
+
+    frames = [pd.read_pickle(sweep_path(meth, a))
+              for meth in METHOD_LIST for a in ALPHA_LIST
+              if os.path.exists(sweep_path(meth, a))]
+    df = pd.concat(frames, ignore_index=True)
     wall = time.time() - t0
     print("Benchmark took {:.2f}s for {} trials (reference: 2421 s)".format(
         wall, len(df)))
@@ -54,21 +118,24 @@ def main():
     print("\nMean time-to-goal on successes:")
     print(df[df.success].groupby("method")["time_to_goal"].mean())
 
-    os.makedirs("mppi_benchmark", exist_ok=True)
+    world, cfg, params = build_problem()
+    os.makedirs(OUT_DIR, exist_ok=True)
     out = dict(
-        logger=df, cfg=cfg, max_speed=3.0, max_steps=max_steps,
-        grid_shape=grid_shape, mud_margin=mud_margin, res=res,
+        logger=df, cfg=cfg, max_speed=3.0, max_steps=MAX_STEPS,
+        grid_shape=GRID_SHAPE, mud_margin=MUD_MARGIN, res=RES,
         num_pmf_bins=world["num_pmf_bins"], bin_values=world["bin_values"],
         bin_values_bounds=world["bin_values_bounds"],
-        default_mppi_params=default_mppi_params,
-        grass_density_list=grass_density_list,
-        envs_per_density=envs_per_density, trials_per_env=trials_per_env,
-        alpha_list=alpha_list, method_list=method_list,
+        default_mppi_params=params,
+        grass_density_list=GRASS_DENSITY_LIST,
+        envs_per_density=ENVS_PER_DENSITY, trials_per_env=TRIALS_PER_ENV,
+        alpha_list=ALPHA_LIST, method_list=METHOD_LIST,
         pmf_bounds=[0, 1.0], bush_weights=[0.6, 0.4], bush_means=[0, 0.8],
         bush_std=[0.15, 0.1], dirt_weights=[1], dirt_means=[0.65],
         dirt_std=[0.1], wall_clock_s=wall, engine="device")
-    fname = "mppi_benchmark/envs_{}_trials_{}_densities_{}_device.pickle".format(
-        envs_per_density, trials_per_env, len(grass_density_list))
+    fname = os.path.join(OUT_DIR,
+                         "envs_{}_trials_{}_densities_{}_device.pickle".format(
+                             ENVS_PER_DENSITY, TRIALS_PER_ENV,
+                             len(GRASS_DENSITY_LIST)))
     with open(fname, "wb") as fh:
         pickle.dump(out, fh)
     print("saved:", fname)
