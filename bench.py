@@ -4,9 +4,12 @@
 Workload mirrors the reference's benchmark configuration
 (reference: benchmark.ipynb[cell 2-4] / BASELINE.md): K=1024 control
 rollouts x M=1024 sampled traction maps x 100 steps over a 9x9 semantic map
-(padded), CVaR alpha=0.2.  The reference achieves ~17-30 ms per solve() on
-an RTX 3070; ``vs_baseline`` is the speedup against the favorable end
-(17 ms).
+with its zero-traction padding ring (pad_cells = ceil(5.0 * 0.1 / 1.0) = 1,
+reference: terrain.py:567, so the padded working map is 11x11 — the
+reference's 15x15 figure is its preallocated max buffer, not the extent its
+kernel reads), CVaR alpha=0.2.  The reference achieves ~17-30 ms per
+solve() on an RTX 3070; ``vs_baseline`` is the speedup against the
+favorable end (17 ms).
 
 Timing methodology: the host<->device link in this environment has ~30 ms
 round-trip latency and async dispatch makes naive block_until_ready timing
@@ -30,7 +33,7 @@ from mppi_numba_tpu.types import MapInputs, TerrainTask
 REF_SOLVE_MS = 17.0  # fast end of the reference's 17-30 ms stochastic solve
 
 
-def build_flagship(K=1024, M=1024, T=100, H=15, W=15, B=22, cvar_alpha=0.2):
+def build_flagship(K=1024, M=1024, T=100, H=11, W=11, B=22, cvar_alpha=0.2):
     rng = np.random.RandomState(0)
     raw = rng.randint(0, 100, size=(B, H, W)).astype(float)
     pmf = (raw / raw.sum(0) * 100).astype(np.int8)

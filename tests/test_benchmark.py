@@ -72,3 +72,29 @@ def test_benchmark_vis_plotting():
                                             method_list=["noisy_dyn",
                                                          "risk_dyn"])
     assert len(axes) == 2
+
+
+def test_run_trials_device_chunking_matches_unchunked():
+    """batch_chunk must not change results (incl. a padded final chunk)."""
+    import pandas as pd
+    from mppi_numba_tpu.benchmark import run_trials_device
+
+    def run(batch_chunk):
+        world = make_benchmark_world(num_bins=8,
+                                     rng=np.random.RandomState(0))
+        cfg = Config(T=2.0, dt=0.1, num_grid_samples=8,
+                     num_control_rollouts=128, max_speed_padding=3.0,
+                     max_map_dim=(11, 11), seed=1, use_tdm=True)
+        p = default_benchmark_params(cfg, (5, 5), 1)
+        return run_trials_device(cfg, world, 10, (5, 5), 1, 1.0, p,
+                                 grass_density_list=[0.4],
+                                 envs_per_density=3, trials_per_env=2,
+                                 alpha_list=[0.6],
+                                 method_list=["noisy_dyn"], verbose=False,
+                                 batch_chunk=batch_chunk)
+
+    # NOTE: the world must be rebuilt per call — its GaussianMixtures hold a
+    # stateful RandomState consumed by the ground-truth realizations.
+    df_chunked = run(4)      # B=6 -> chunks of 4 + padded tail
+    df_full = run(None)
+    pd.testing.assert_frame_equal(df_chunked, df_full)
