@@ -87,13 +87,19 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
         yi = jnp.clip(jnp.floor((y - ylim0) * inv_res).astype(jnp.int32), 0, H - 1)
         cell = yi * W + xi
 
-        words = jnp.zeros(shape, jnp.int32)
-        for c in range(n_chunks):
-            local = cell - c * LANES
-            g = jnp.take_along_axis(chunks_ref[c],
-                                    jnp.clip(local, 0, LANES - 1), axis=1,
-                                    mode="promise_in_bounds")
-            words = jnp.where((local >= 0) & (local < LANES), g, words)
+        if n_chunks == 1:
+            # Map fits in one 128-lane chunk (e.g. the benchmark's 11x11
+            # padded world): one gather, no select masking.
+            words = jnp.take_along_axis(chunks_ref[0], cell, axis=1,
+                                        mode="promise_in_bounds")
+        else:
+            words = jnp.zeros(shape, jnp.int32)
+            for c in range(n_chunks):
+                local = cell - c * LANES
+                g = jnp.take_along_axis(chunks_ref[c],
+                                        jnp.clip(local, 0, LANES - 1), axis=1,
+                                        mode="promise_in_bounds")
+                words = jnp.where((local >= 0) & (local < LANES), g, words)
 
         lin_tr = lin_lb + lin_ratio * (words & 0xFF).astype(f32)
         ang_tr = ang_lb + ang_ratio * ((words >> 8) & 0xFF).astype(f32)

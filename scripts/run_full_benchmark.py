@@ -49,51 +49,56 @@ def build_problem():
     return world, cfg, params
 
 
-def sweep_path(method, alpha):
-    return os.path.join(OUT_DIR, "partial_{}_{}.pickle".format(method, alpha))
+def sweep_path(method):
+    return os.path.join(OUT_DIR, "partial_{}.pickle".format(method))
 
 
-def run_one_sweep(method, alpha):
-    """Child-process entry: one (method, alpha) sweep -> partial pickle."""
+def run_one_sweep(method):
+    """Child-process entry: one method (all alphas) -> partial pickle.
+
+    All 5 alphas share ONE executable per method (traced cvar_alpha /
+    alpha_dyn), so per-method isolation costs a single XLA compile while
+    keeping crash blast-radius small.
+    """
     from mppi_numba_tpu.benchmark import run_trials_device
     world, cfg, params = build_problem()
     df = run_trials_device(cfg, world, MAX_STEPS, GRID_SHAPE, MUD_MARGIN,
                            RES, params, GRASS_DENSITY_LIST, ENVS_PER_DENSITY,
-                           TRIALS_PER_ENV, [alpha], [method], verbose=True)
+                           TRIALS_PER_ENV, ALPHA_LIST, [method], verbose=True)
     os.makedirs(OUT_DIR, exist_ok=True)
-    df.to_pickle(sweep_path(method, alpha))
+    df.to_pickle(sweep_path(method))
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--sweep", nargs=2, metavar=("METHOD", "ALPHA"),
-                        help="internal: run one (method, alpha) sweep")
+    parser.add_argument("--sweep", metavar="METHOD",
+                        help="internal: run one method's sweep")
     parser.add_argument("--retries", type=int, default=2)
     args = parser.parse_args()
 
     if args.sweep:
-        run_one_sweep(args.sweep[0], float(args.sweep[1]))
+        run_one_sweep(args.sweep)
         return
 
     import pandas as pd
 
     t0 = time.time()
-    pending = [(meth, a) for meth in METHOD_LIST for a in ALPHA_LIST]
+    ran_any = False
+    pending = list(METHOD_LIST)
     for attempt in range(args.retries + 1):
         failed = []
-        for meth, a in pending:
-            if os.path.exists(sweep_path(meth, a)):
-                print("sweep {} alpha={}: cached".format(meth, a))
+        for meth in pending:
+            if os.path.exists(sweep_path(meth)):
+                print("sweep {}: cached".format(meth))
                 continue
-            print("sweep {} alpha={}: launching".format(meth, a), flush=True)
+            ran_any = True
+            print("sweep {}: launching".format(meth), flush=True)
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--sweep", meth, str(a)],
+                [sys.executable, os.path.abspath(__file__), "--sweep", meth],
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
             if r.returncode != 0:
-                print("sweep {} alpha={} FAILED (rc={})".format(meth, a,
-                                                                r.returncode))
-                failed.append((meth, a))
+                print("sweep {} FAILED (rc={})".format(meth, r.returncode))
+                failed.append(meth)
                 time.sleep(20)      # give a crashed worker time to restart
         pending = failed
         if not pending:
@@ -103,13 +108,16 @@ def main():
     if pending:
         print("GIVING UP on sweeps:", pending)
 
-    frames = [pd.read_pickle(sweep_path(meth, a))
-              for meth in METHOD_LIST for a in ALPHA_LIST
-              if os.path.exists(sweep_path(meth, a))]
+    frames = [pd.read_pickle(sweep_path(meth)) for meth in METHOD_LIST
+              if os.path.exists(sweep_path(meth))]
     df = pd.concat(frames, ignore_index=True)
     wall = time.time() - t0
-    print("Benchmark took {:.2f}s for {} trials (reference: 2421 s)".format(
-        wall, len(df)))
+    if ran_any:
+        print("Benchmark took {:.2f}s for {} trials (reference: 2421 s)"
+              .format(wall, len(df)))
+    else:
+        print("All sweeps cached; reporting stats only "
+              "(wall-clock not re-measured).")
 
     print("\nSuccess rate by method:")
     print(df.groupby("method")["success"].mean())
@@ -117,6 +125,15 @@ def main():
     print(df.groupby(["method", "alpha"])["success"].mean().unstack())
     print("\nMean time-to-goal on successes:")
     print(df[df.success].groupby("method")["time_to_goal"].mean())
+
+    fname = os.path.join(OUT_DIR,
+                         "envs_{}_trials_{}_densities_{}_device.pickle".format(
+                             ENVS_PER_DENSITY, TRIALS_PER_ENV,
+                             len(GRASS_DENSITY_LIST)))
+    if not ran_any and os.path.exists(fname):
+        print("not re-saving {} (would clobber the measured wall clock)"
+              .format(fname))
+        return
 
     world, cfg, params = build_problem()
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -132,10 +149,6 @@ def main():
         pmf_bounds=[0, 1.0], bush_weights=[0.6, 0.4], bush_means=[0, 0.8],
         bush_std=[0.15, 0.1], dirt_weights=[1], dirt_means=[0.65],
         dirt_std=[0.1], wall_clock_s=wall, engine="device")
-    fname = os.path.join(OUT_DIR,
-                         "envs_{}_trials_{}_densities_{}_device.pickle".format(
-                             ENVS_PER_DENSITY, TRIALS_PER_ENV,
-                             len(GRASS_DENSITY_LIST)))
     with open(fname, "wb") as fh:
         pickle.dump(out, fh)
     print("saved:", fname)

@@ -81,3 +81,17 @@ def test_supported_predicate():
     assert pallas_rollout_supported(1024, 225)
     assert pallas_rollout_supported(32, 104 * 104)
     assert not pallas_rollout_supported(1024, 250 * 250)
+
+
+def test_pallas_kernel_multichunk_map():
+    """Map wider than one 128-lane chunk exercises the chunk-select path."""
+    task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(
+        seed=5, K=128, M=8, T=15, H=13, W=15)   # 195 cells -> 2 chunks
+    packed = pack_map_words(jnp.asarray(lin), jnp.asarray(ang),
+                            jnp.asarray(obs), jnp.asarray(unk))
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas(
+        packed, build_task_vec(task), v_all, w_all,
+        H=13, W=15, T=15, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
