@@ -134,19 +134,16 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
         step_cost = (dt_eff + dist_w * jnp.sqrt(dist2_new)
                      + obs * obs_pen + unk * unk_pen)
 
+        # Post-reach, the state may keep evolving freely: every consumer of
+        # it (stage cost, map penalties, dist2) is masked by ``active``, and
+        # the terminal cost reads only the FROZEN dist2 — so freezing x/y/hd
+        # would buy nothing but 3-4 extra vector blends per step.
         active = 1.0 - reachedf
         cost = cost + active * step_cost
-        x = x + active * (x_new - x)
-        y = y + active * (y_new - y)
-        if fast_trig:
-            hd = (hd[0] + active * (hd_new[0] - hd[0]),
-                  hd[1] + active * (hd_new[1] - hd[1]))
-        else:
-            hd = hd + active * (hd_new - hd)
         dist2 = dist2 + active * (dist2_new - dist2)
         reachedf = jnp.maximum(reachedf,
                                active * (dist2_new <= tol2).astype(f32))
-        return x, y, hd, cost, dist2, reachedf
+        return x_new, y_new, hd_new, cost, dist2, reachedf
 
     if fast_trig:
         hd0 = (jnp.full(shape, jnp.cos(x0th), f32),

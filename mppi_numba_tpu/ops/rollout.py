@@ -100,14 +100,13 @@ def terrain_rollout_costs(packed_words, task, u_cur, noise, *, speed_map=False,
         step_cost = (stage_cost(dist2_new, dt_eff, task.dist_weight)
                      + obs * task.obs_penalty + unk * task.unknown_penalty)
 
+        # x/y/th need no post-reach freeze: all their consumers are masked by
+        # ``active`` and the terminal cost reads the frozen dist2 only.
         active = jnp.logical_not(reached)
         cost = cost + jnp.where(active, step_cost, 0.0)
-        x = jnp.where(active, x_new, x)
-        y = jnp.where(active, y_new, y)
-        th = jnp.where(active, th_new, th)
         dist2 = jnp.where(active, dist2_new, dist2)
         reached = jnp.logical_or(reached, jnp.logical_and(active, dist2_new <= tol2))
-        return (x, y, th, cost, reached, dist2), None
+        return (x_new, y_new, th_new, cost, reached, dist2), None
 
     km = (K, M)
     carry0 = (jnp.broadcast_to(task.x0[0].astype(f32), km),
@@ -216,12 +215,9 @@ def barebone_rollout_costs(task, u_cur, noise):
 
         active = jnp.logical_not(reached)
         cost = cost + jnp.where(active, step_cost, 0.0)
-        x = jnp.where(active, x_new, x)
-        y = jnp.where(active, y_new, y)
-        th = jnp.where(active, th_new, th)
         dist2 = jnp.where(active, dist2_new, dist2)
         reached = jnp.logical_or(reached, jnp.logical_and(active, dist2_new <= tol2))
-        return (x, y, th, cost, reached, dist2), None
+        return (x_new, y_new, th_new, cost, reached, dist2), None
 
     carry0 = (jnp.broadcast_to(task.x0[0].astype(f32), (K,)),
               jnp.broadcast_to(task.x0[1].astype(f32), (K,)),
