@@ -168,3 +168,75 @@ def test_barebone_closed_loop_reaches_goal():
     assert np.min(np.hypot(traj[:, 0] - 2, traj[:, 1] - 1)) > 0.9
     states = planner.get_state_rollout()
     assert states.shape == (cfg.num_vis_state_rollouts, cfg.num_steps + 1, 3)
+
+
+def test_solver_num_opt_iterations_chain():
+    """num_opt=2 equals two chained iterations over the SAME sampled maps
+    with per-iteration folded noise keys (reference: mppi.py:402-448 loops
+    kernels 3-5 inside one solve; maps are sampled once per solve)."""
+    import jax
+    import jax.numpy as jnp
+    from mppi_numba_tpu.config import SolverStatic
+    from mppi_numba_tpu.ops.cvar import cvar_from_costs
+    from mppi_numba_tpu.ops.packing import pack_map_words
+    from mppi_numba_tpu.ops.rollout import (control_coupling,
+                                            terrain_rollout_costs)
+    from mppi_numba_tpu.ops.sampling import (sample_noise,
+                                             sample_traction_grids)
+    from mppi_numba_tpu.ops.update import update_useq
+    from mppi_numba_tpu.solver import get_terrain_solver
+    from mppi_numba_tpu.types import MapInputs, TerrainTask
+
+    K, M, T, H, W, B = 64, 8, 12, 7, 7, 6
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 100, size=(B, H, W)).astype(float)
+    pmf = (raw / raw.sum(0) * 100).astype(np.int8)
+    pmf[-1] = 100 - pmf[:-1].sum(0)
+    qbins = np.linspace(0, 100, B).astype(np.int8)
+    maps = MapInputs(
+        lin_pmf=jnp.asarray(pmf), ang_pmf=jnp.asarray(pmf),
+        lin_qbins=jnp.asarray(qbins), ang_qbins=jnp.asarray(qbins),
+        obstacle=jnp.zeros((H, W), jnp.int8),
+        unknown=jnp.zeros((H, W), jnp.int8),
+        risk=jnp.zeros((H, W), jnp.int8))
+    f32 = np.float32
+    task = TerrainTask(
+        x0=jnp.asarray(np.array([2.0, 2.0, 0.3], f32)),
+        xgoal=jnp.asarray(np.array([5.0, 5.0], f32)),
+        goal_tolerance=f32(0.5), v_post_rollout=f32(0.01),
+        lambda_weight=f32(1.0),
+        u_std=jnp.asarray(np.array([1.0, 1.5], f32)),
+        vrange=jnp.asarray(np.array([0.0, 2.0], f32)),
+        wrange=jnp.asarray(np.array([-3.0, 3.0], f32)),
+        dt=f32(0.1), dist_weight=f32(1.0), obs_penalty=f32(1e5),
+        unknown_penalty=f32(1e2), alpha_dyn=f32(1.0), res=f32(1.0),
+        xlim0=f32(-1.0), ylim0=f32(-1.0), lin_lb=f32(0.0),
+        lin_ratio=f32(0.01), ang_lb=f32(0.0), ang_ratio=f32(0.01))
+    static = SolverStatic(mode="tdm", num_steps=T, num_control_rollouts=K,
+                          num_grid_samples=M, map_shape=(H, W),
+                          num_obstacles=0, cvar_numel=3, num_opt=2,
+                          num_vis_state_rollouts=1, backend="xla")
+    key = jax.random.PRNGKey(7)
+    # The solver donates its u0 argument; hand it a dedicated buffer.
+    got, aux = get_terrain_solver(static)(key, maps, task,
+                                          jnp.zeros((T, 2), jnp.float32))
+    u0 = jnp.zeros((T, 2), jnp.float32)
+
+    # Manual two-iteration chain with the solver's documented key schedule.
+    kmap, knoise = jax.random.split(key)
+    lin = sample_traction_grids(kmap, maps.lin_pmf, maps.lin_qbins,
+                                task.alpha_dyn, M)
+    ang = sample_traction_grids(kmap, maps.ang_pmf, maps.ang_qbins,
+                                task.alpha_dyn, M)
+    packed = pack_map_words(lin, ang, maps.obstacle, maps.unknown)
+    u = u0
+    for i in range(2):
+        noise = sample_noise(jax.random.fold_in(knoise, i), task.u_std, K, T)
+        costs = (cvar_from_costs(
+                     terrain_rollout_costs(packed, task, u, noise), 3)
+                 + control_coupling(u, noise, task.u_std, task.lambda_weight))
+        u, _ = update_useq(costs, noise, u, task.lambda_weight,
+                           task.vrange, task.wrange)
+    # Fused-vs-eager reassociation: tolerate a few ulps.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(u),
+                               rtol=1e-4, atol=1e-5)
