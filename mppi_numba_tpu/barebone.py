@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverStatic, rec_min_control_rollouts
-from .mppi import _shift_useq
+from .mppi import shifted_useq
 from .ops.costs import BAREBONE_DEFAULT_DIST_WEIGHT, BAREBONE_DEFAULT_OBS_COST
 from .solver import get_barebone_solver, get_barebone_vis
 from .types import BareboneTask
@@ -35,7 +35,7 @@ class BareboneConfig:
         self.seed = seed
         self.T = T
         self.dt = dt
-        self.num_steps = int(T / dt)
+        self.num_steps = int(T / dt + 1e-6)   # see Config: float-safe truncation
 
         assert T > 0
         assert dt > 0
@@ -159,7 +159,9 @@ class BareboneMPPI:
         self._last_aux = aux
         self._last_static = static
         self._last_useq_np = np.asarray(jax.device_get(u_new))
-        return self._last_useq_np
+        # Copy: an aliased return would defeat shift_and_update's comparison
+        # (see MPPIPlanner.solve).
+        return self._last_useq_np.copy()
 
     def shift_and_update(self, new_x0, u_cur, num_shifts=1):
         new_x0 = np.asarray(new_x0).copy()
@@ -167,14 +169,9 @@ class BareboneMPPI:
         self._task_device = self._task_device._replace(
             x0=jnp.asarray(new_x0.astype(np.float32)))
         u_np = np.asarray(u_cur, dtype=np.float32)
-        if (self._last_useq_np is not None
-                and u_np.shape == self._last_useq_np.shape
-                and np.array_equal(u_np, self._last_useq_np)):
-            self.u_cur = _shift_useq(self.u_cur, num_shifts)
-        else:
-            u_shifted = u_np.copy()
-            u_shifted[:-num_shifts] = u_shifted[num_shifts:]
-            self.u_cur = jnp.asarray(u_shifted)
+        self.u_cur = shifted_useq(self.u_cur, self._last_useq_np, u_np,
+                                  num_shifts)
+        self._last_useq_np = None   # a second shift must re-upload
 
     def get_state_rollout(self):
         assert self.params_set, "MPPI parameters are not set"

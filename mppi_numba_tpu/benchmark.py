@@ -275,6 +275,7 @@ def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
         cfg = _cfg_for_method(orig_cfg, method)
         lin_tdm = TDM(cfg)
         ang_tdm = TDM(cfg)
+        maps_by_det_alpha = {}   # the maps depend on alpha ONLY via det_alpha
         for alpha in alpha_list:
             if verbose:
                 print("device sweep: method={} alpha={} ({} trials)".format(
@@ -283,35 +284,37 @@ def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
             cvar_alpha = alpha if method == "noisy_dyn" else 1.0
             alpha_dyn = 1.0 if method == "noisy_dyn" else alpha
 
-            # Build per-env map tensors once, then index per trial row.
-            env_maps = {}
-            for key_env, sg in env_grids.items():
-                lin_tdm.reset()
-                ang_tdm.reset()
-                lin_tdm.set_TDM_from_semantic_grid(
-                    sg, res, world["num_pmf_bins"], world["bin_values"],
-                    world["bin_values_bounds"], xlimits, ylimits,
-                    world["id2name"], world["name2terrain"],
-                    world["lin_terrain2pmf"],
-                    det_dynamics_cvar_alpha=det_alpha)
-                ang_tdm.set_TDM_from_semantic_grid(
-                    sg, res, world["num_pmf_bins"], world["bin_values"],
-                    world["bin_values_bounds"], xlimits, ylimits,
-                    world["id2name"], world["name2terrain"],
-                    world["ang_terrain2pmf"],
-                    det_dynamics_cvar_alpha=det_alpha)
-                env_maps[key_env] = (
-                    np.asarray(lin_tdm.pmf_grid_device),
-                    np.asarray(ang_tdm.pmf_grid_device),
-                    np.asarray(lin_tdm.qbin_values),
-                    np.asarray(ang_tdm.qbin_values),
-                    np.asarray(lin_tdm.obstacle_map_device),
-                    np.asarray(lin_tdm.unknown_map_device),
-                    np.asarray(lin_tdm.risk_traction_map_device))
-
-            stacked = [np.stack([env_maps[(r["density_i"], r["env_i"])][i]
-                                 for r in env_rows]) for i in range(7)]
-            maps = MapInputs(*(jnp.asarray(s) for s in stacked))
+            if det_alpha not in maps_by_det_alpha:
+                # Build per-env map tensors once, then index per trial row.
+                env_maps = {}
+                for key_env, sg in env_grids.items():
+                    lin_tdm.reset()
+                    ang_tdm.reset()
+                    lin_tdm.set_TDM_from_semantic_grid(
+                        sg, res, world["num_pmf_bins"], world["bin_values"],
+                        world["bin_values_bounds"], xlimits, ylimits,
+                        world["id2name"], world["name2terrain"],
+                        world["lin_terrain2pmf"],
+                        det_dynamics_cvar_alpha=det_alpha)
+                    ang_tdm.set_TDM_from_semantic_grid(
+                        sg, res, world["num_pmf_bins"], world["bin_values"],
+                        world["bin_values_bounds"], xlimits, ylimits,
+                        world["id2name"], world["name2terrain"],
+                        world["ang_terrain2pmf"],
+                        det_dynamics_cvar_alpha=det_alpha)
+                    env_maps[key_env] = (
+                        np.asarray(lin_tdm.pmf_grid_device),
+                        np.asarray(ang_tdm.pmf_grid_device),
+                        np.asarray(lin_tdm.qbin_values),
+                        np.asarray(ang_tdm.qbin_values),
+                        np.asarray(lin_tdm.obstacle_map_device),
+                        np.asarray(lin_tdm.unknown_map_device),
+                        np.asarray(lin_tdm.risk_traction_map_device))
+                stacked = [np.stack([env_maps[(r["density_i"], r["env_i"])][i]
+                                     for r in env_rows]) for i in range(7)]
+                maps_by_det_alpha[det_alpha] = MapInputs(
+                    *(jnp.asarray(s) for s in stacked))
+            maps = maps_by_det_alpha[det_alpha]
 
             p = default_mppi_params
             f32 = np.float32
@@ -397,15 +400,18 @@ def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
     return pd.DataFrame(loggers)
 
 
-def default_benchmark_params(cfg, grid_shape, mud_margin, max_speed=3.0):
+def default_benchmark_params(cfg, grid_shape, mud_margin, max_speed=3.0,
+                             res=1.0):
     """Default problem params of the reference benchmark
-    (reference: benchmark.ipynb[cell 5])."""
+    (reference: benchmark.ipynb[cell 5]; there the grid is square with
+    res=1, hiding that x spans COLUMNS — grid_shape[1] — in world
+    coordinates)."""
     return dict(
         dt=cfg.dt,
-        x0=np.array([mud_margin / 2, mud_margin / 2, np.pi / 4]),
-        xgoal=np.array([grid_shape[0] - mud_margin / 2,
-                        grid_shape[0] - mud_margin / 2]),
-        goal_tolerance=mud_margin / 2,
+        x0=np.array([mud_margin * res / 2, mud_margin * res / 2, np.pi / 4]),
+        xgoal=np.array([(grid_shape[1] - mud_margin / 2) * res,
+                        (grid_shape[0] - mud_margin / 2) * res]),
+        goal_tolerance=mud_margin * res / 2,
         v_post_rollout=0.01,
         cvar_alpha=1.0,
         alpha_dyn=1.0,

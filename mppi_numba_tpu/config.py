@@ -82,7 +82,10 @@ class Config:
 
         self.T = T
         self.dt = dt
-        self.num_steps = int(T / dt)
+        # Tiny epsilon before truncating: bare int(T/dt) silently loses a
+        # step to float error (0.3/0.1 -> 2.999... -> 2).  Genuine fractional
+        # horizons still truncate like the reference (config.py:51).
+        self.num_steps = int(T / dt + 1e-6)
         assert self.num_steps > 0
 
         self.max_threads_per_block = max_threads_per_block

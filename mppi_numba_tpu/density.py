@@ -78,7 +78,11 @@ class Density:
         nums, _ = np.histogram(samples, num_bins, range=vrange, density=True)
 
         bin_width = (vrange[1] - vrange[0]) / num_bins
-        values = np.arange(vrange[0], vrange[1], bin_width) + bin_width / 2
+        # linspace, not float arange: arange's float stepping can emit
+        # num_bins + 1 centers (e.g. bounds (0, 1) with 49 bins) and
+        # desynchronize values from the histogram counts.
+        values = (np.linspace(vrange[0], vrange[1], num_bins,
+                              endpoint=False) + bin_width / 2)
 
         if include_min_max:
             values = np.insert(values, 0, vrange[0])

@@ -37,17 +37,14 @@ class TrialResult(NamedTuple):
     cum_obj: object
 
 
-def make_device_trial(static: SolverStatic, max_steps: int):
-    """Build ``trial_fn(key, maps, task, gt_lin, gt_gt_ang, gt_meta) ->
-    TrialResult`` running one full closed-loop episode on device.
+def _make_step_core(solve_fn, T):
+    """The shared episode step: solve -> ground-truth Euler step -> shift.
 
-    ``gt_lin`` / ``gt_ang`` are the ground-truth realized traction grids
-    (float32 ``(Hg, Wg)``, unpadded) and ``gt_meta`` is
-    ``[xlim0, ylim0, inv_res]`` for the simulator's lookup, which returns
-    zero traction outside bounds (reference: mppi_numba/terrain.py:775-782).
+    Returns ``step(x, u, key, maps, task, gt_lin, gt_ang, gt_meta) ->
+    (x_new, u_shifted, key_new, dist_new)``.  Both episode engines (early-
+    exit single trial, masked batch) wrap this one body so their closed-loop
+    semantics cannot drift apart.
     """
-    solve_fn = get_terrain_solver(static)
-    T = static.num_steps
 
     def gt_lookup(gt_lin, gt_ang, meta, x, y):
         Hg, Wg = gt_lin.shape
@@ -60,6 +57,41 @@ def make_device_trial(static: SolverStatic, max_steps: int):
         at = jnp.where(inb, gt_ang[yi, xi], 0.0)
         return lt, at
 
+    def step(x, u, key, maps, task, gt_lin, gt_ang, gt_meta):
+        key, sub = jax.random.split(key)
+        task_t = task._replace(x0=x)
+        u_new, _ = solve_fn(sub, maps, task_t, u)
+        u0 = u_new[0]
+
+        lt, at = gt_lookup(gt_lin, gt_ang, gt_meta, x[0], x[1])
+        x_new = jnp.stack([
+            x[0] + task.dt * lt * jnp.cos(x[2]) * u0[0],
+            x[1] + task.dt * lt * jnp.sin(x[2]) * u0[0],
+            x[2] + task.dt * at * u0[1],
+        ])
+        # Receding-horizon shift (reference: mppi_numba/mppi.py:539-542).
+        u_shift = jnp.concatenate([u_new[1:], u_new[-1:]], axis=0)
+        dist_new = (jnp.linalg.norm(x_new[:2] - task.xgoal)
+                    - task.goal_tolerance)
+        return x_new, u_shift, key, dist_new
+
+    return step
+
+
+def make_device_trial(static: SolverStatic, max_steps: int):
+    """Build ``trial_fn(key, maps, task, gt_lin, gt_ang, gt_meta) ->
+    TrialResult`` running one full closed-loop episode on device.
+
+    ``gt_lin`` / ``gt_ang`` are the ground-truth realized traction grids
+    (float32 ``(Hg, Wg)``, unpadded) and ``gt_meta`` is
+    ``[xlim0, ylim0, inv_res]`` for the simulator's lookup, which returns
+    zero traction outside bounds (reference: mppi_numba/terrain.py:775-782).
+    Uses a ``while_loop`` so the episode EXITS EARLY at goal reach.
+    """
+    solve_fn = get_terrain_solver(static)
+    step_core = _make_step_core(solve_fn, static.num_steps)
+    T = static.num_steps
+
     def trial_fn(key, maps, task, gt_lin, gt_ang, gt_meta):
         def cond(carry):
             t, x, u, key, reached, *_ = carry
@@ -67,22 +99,8 @@ def make_device_trial(static: SolverStatic, max_steps: int):
 
         def body(carry):
             t, x, u, key, reached, cum_obj, cum_dist, dist = carry
-            key, sub = jax.random.split(key)
-            task_t = task._replace(x0=x)
-            u_new, _ = solve_fn(sub, maps, task_t, u)
-            u0 = u_new[0]
-
-            lt, at = gt_lookup(gt_lin, gt_ang, gt_meta, x[0], x[1])
-            x_new = jnp.stack([
-                x[0] + task.dt * lt * jnp.cos(x[2]) * u0[0],
-                x[1] + task.dt * lt * jnp.sin(x[2]) * u0[0],
-                x[2] + task.dt * at * u0[1],
-            ])
-            # Receding-horizon shift (reference: mppi_numba/mppi.py:539-542).
-            u_shift = jnp.concatenate([u_new[1:], u_new[-1:]], axis=0)
-
-            dist_new = (jnp.linalg.norm(x_new[:2] - task.xgoal)
-                        - task.goal_tolerance)
+            x_new, u_shift, key, dist_new = step_core(
+                x, u, key, maps, task, gt_lin, gt_ang, gt_meta)
             cum_obj = cum_obj + task.dt + dist_new
             cum_dist = cum_dist + dist_new
             reached = dist_new <= 0
@@ -111,34 +129,14 @@ def make_device_trial_batch(static: SolverStatic, max_steps: int):
     the batch stays SIMD; finished trials freeze their state.
     """
     solve_fn = get_terrain_solver(static)
+    step_core = _make_step_core(solve_fn, static.num_steps)
     T = static.num_steps
 
     def one(key, maps, task, gt_lin, gt_ang, gt_meta):
-        def gt_lookup(x, y):
-            Hg, Wg = gt_lin.shape
-            xi = jnp.floor((x - gt_meta[0]) * gt_meta[2]).astype(jnp.int32)
-            yi = jnp.floor((y - gt_meta[1]) * gt_meta[2]).astype(jnp.int32)
-            inb = (xi >= 0) & (xi < Wg) & (yi >= 0) & (yi < Hg)
-            xi = jnp.clip(xi, 0, Wg - 1)
-            yi = jnp.clip(yi, 0, Hg - 1)
-            return (jnp.where(inb, gt_lin[yi, xi], 0.0),
-                    jnp.where(inb, gt_ang[yi, xi], 0.0))
-
         def body(t, carry):
             x, u, key, reached, steps, cum_obj, cum_dist, dist = carry
-            key, sub = jax.random.split(key)
-            task_t = task._replace(x0=x)
-            u_new, _ = solve_fn(sub, maps, task_t, u)
-            u0 = u_new[0]
-            lt, at = gt_lookup(x[0], x[1])
-            x_new = jnp.stack([
-                x[0] + task.dt * lt * jnp.cos(x[2]) * u0[0],
-                x[1] + task.dt * lt * jnp.sin(x[2]) * u0[0],
-                x[2] + task.dt * at * u0[1],
-            ])
-            u_shift = jnp.concatenate([u_new[1:], u_new[-1:]], axis=0)
-            dist_new = (jnp.linalg.norm(x_new[:2] - task.xgoal)
-                        - task.goal_tolerance)
+            x_new, u_shift, key, dist_new = step_core(
+                x, u, key, maps, task, gt_lin, gt_ang, gt_meta)
 
             active = jnp.logical_not(reached)
             x = jnp.where(active, x_new, x)

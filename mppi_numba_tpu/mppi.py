@@ -246,7 +246,10 @@ class MPPIPlanner:
             self.u_prev = u_new
 
         self._last_useq_np = np.asarray(jax.device_get(u_new))
-        return self._last_useq_np
+        # Hand the caller a copy: if the returned array aliased the private
+        # snapshot, caller edits would defeat shift_and_update's
+        # is-this-the-solved-sequence comparison below.
+        return self._last_useq_np.copy()
 
     # -- receding horizon -------------------------------------------------------
 
@@ -262,12 +265,13 @@ class MPPIPlanner:
         self._task_device = self._task_device._replace(
             x0=jnp.asarray(new_x0.astype(np.float32)))
         u_np = np.asarray(u_cur, dtype=np.float32)
-        if (self._last_useq_np is not None
-                and u_np.shape == self._last_useq_np.shape
-                and np.array_equal(u_np, self._last_useq_np)):
-            self.u_cur = _shift_useq(self.u_cur, num_shifts)
-        else:
-            self.shift_optimal_control_sequence(u_np, num_shifts)
+        self.u_cur = shifted_useq(self.u_cur, self._last_useq_np, u_np,
+                                  num_shifts)
+        # The device sequence no longer matches the last solve's output; a
+        # second shift with the same host array must take the re-upload path
+        # (reference semantics: the shift is recomputed from the passed
+        # array each call).
+        self._last_useq_np = None
 
     def shift_optimal_control_sequence(self, u_cur, num_shifts=1):
         u_cur_shifted = np.asarray(u_cur).copy()
@@ -316,6 +320,22 @@ def _shift_useq(u_cur, num_shifts):
     ``n`` entries left unchanged — exactly the reference's host-side
     assignment (reference: mppi_numba/mppi.py:539-542)."""
     return jnp.concatenate([u_cur[num_shifts:], u_cur[-num_shifts:]], axis=0)
+
+
+def shifted_useq(u_cur_device, last_useq_np, u_np, num_shifts):
+    """Shared receding-horizon shift for both planner classes.
+
+    Shifts ON DEVICE (no upload) when ``u_np`` equals the last solve's
+    output — the standard closed-loop pattern — else recomputes the shift
+    from the passed host array and uploads it (reference semantics,
+    mppi_numba/mppi.py:534-542).
+    """
+    if (last_useq_np is not None and u_np.shape == last_useq_np.shape
+            and np.array_equal(u_np, last_useq_np)):
+        return _shift_useq(u_cur_device, num_shifts)
+    u_shifted = u_np.copy()
+    u_shifted[:-num_shifts] = u_shifted[num_shifts:]
+    return jnp.asarray(u_shifted.astype(np.float32))
 
 
 # Backwards-compatible alias matching the reference class name.

@@ -477,31 +477,9 @@ class TDM:
                       rows, cols, valid_rows, valid_cols))
         return valid_rows, valid_cols, pad_cells
 
-    def set_padding(self, pmf_grid, max_speed_padding, dt, res, xlimits, ylimits):
-        """Surround the PMF grid with a zero-traction ring.
-
-        The ring "traps" any rollout that leaves the map, removing all
-        bounds checks from the rollout loop (reference:
-        mppi_numba/terrain.py:525-543, README.md:164-165).
-        """
-        valid_rows, valid_cols, pad_cells = self.get_padding_info(
-            pmf_grid.shape, max_speed_padding, dt, res)
-        self.pad_cells = pad_cells
-
-        padded_xlimits = np.array([xlimits[0] - pad_cells * res,
-                                   xlimits[0] + (valid_cols + pad_cells) * res])
-        padded_ylimits = np.array([ylimits[0] - pad_cells * res,
-                                   ylimits[0] + (valid_rows + pad_cells) * res])
-
-        padded = np.zeros((self.num_pmf_bins, valid_rows + 2 * pad_cells,
-                           valid_cols + 2 * pad_cells), dtype=np.int8)
-        padded[0] = np.int8(100)  # all probability mass at zero traction
-        padded[:, pad_cells:pad_cells + valid_rows,
-               pad_cells:pad_cells + valid_cols] = pmf_grid[:, :valid_rows, :valid_cols]
-        return padded, padded_xlimits, padded_ylimits
-
-    def set_padding_risk_traction(self, grid, max_speed_padding, dt, res,
-                                  xlimits, ylimits):
+    def _pad_3d(self, grid, max_speed_padding, dt, res, xlimits, ylimits,
+                zero_traction_ring):
+        """Shared ring-padding core for (layers, H, W) int8 grids."""
         valid_rows, valid_cols, pad_cells = self.get_padding_info(
             grid.shape, max_speed_padding, dt, res)
         self.pad_cells = pad_cells
@@ -511,11 +489,30 @@ class TDM:
         padded_ylimits = np.array([ylimits[0] - pad_cells * res,
                                    ylimits[0] + (valid_rows + pad_cells) * res])
 
-        padded = np.zeros((1, valid_rows + 2 * pad_cells,
+        padded = np.zeros((grid.shape[0], valid_rows + 2 * pad_cells,
                            valid_cols + 2 * pad_cells), dtype=np.int8)
+        if zero_traction_ring:
+            padded[0] = np.int8(100)  # all probability mass at zero traction
         padded[:, pad_cells:pad_cells + valid_rows,
                pad_cells:pad_cells + valid_cols] = grid[:, :valid_rows, :valid_cols]
         return padded, padded_xlimits, padded_ylimits
+
+    def set_padding(self, pmf_grid, max_speed_padding, dt, res, xlimits, ylimits):
+        """Surround the PMF grid with a zero-traction ring.
+
+        The ring "traps" any rollout that leaves the map, removing all
+        bounds checks from the rollout loop (reference:
+        mppi_numba/terrain.py:525-543, README.md:164-165).
+        """
+        return self._pad_3d(pmf_grid, max_speed_padding, dt, res, xlimits,
+                            ylimits, zero_traction_ring=True)
+
+    def set_padding_risk_traction(self, grid, max_speed_padding, dt, res,
+                                  xlimits, ylimits):
+        """Pad the (1, H, W) risk speed map with a zero ring
+        (reference: mppi_numba/terrain.py:511-522)."""
+        return self._pad_3d(grid, max_speed_padding, dt, res, xlimits,
+                            ylimits, zero_traction_ring=False)
 
     def set_padding_2d(self, grid, max_speed_padding, dt, res, pad_val=0):
         valid_rows, valid_cols, pad_cells = self.get_padding_info(
@@ -572,7 +569,11 @@ class TDM:
             lin_s, ang_s = self.id2terrain_fn(sid).sample_traction(n)
             lins[mask] = lin_s
             angs[mask] = ang_s
-        return TractionGrid(lins, angs)
+        # Carry the TDM's geometry: with the defaults (res=1, limits from
+        # cell counts) the simulator's cell lookup would be misaligned for
+        # any res != 1 map.
+        return TractionGrid(lins, angs, res=self.res,
+                            xlimits=self.xlimits, ylimits=self.ylimits)
 
 
 @functools.partial(jax.jit, static_argnums=(4,))

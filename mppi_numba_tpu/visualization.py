@@ -24,8 +24,11 @@ class TDMVisualizer:
     PREFERRED_MAX_FIG_HEIGHT = 8
 
     def __init__(self, tdm, tdm_contains_semantic_grid=True):
-        if tdm_contains_semantic_grid:
-            self.semantic_grid_initialized = tdm.semantic_grid_initialized
+        # Honor the TDM's actual state, not just the caller's flag: a TDM
+        # built via set_TDM_from_PMF_grid has no semantic grid (id2name is
+        # None) and must fall back to base-grid rendering.
+        if tdm_contains_semantic_grid and tdm.semantic_grid_initialized:
+            self.semantic_grid_initialized = True
             self.id2name = copy.deepcopy(tdm.id2name)
             self.id2rgb = {sid: tdm.id2terrain_fn(sid).rgb
                            for sid in self.id2name}

