@@ -34,7 +34,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128          # k-tile width (hardware lane count)
-MAX_M_TILE = 1024    # sublane tile: bigger amortizes gather latency
+# Sublane tile: measured on v5e at K=1024/M=1024/T=100, 256 beats 1024 by
+# ~13% (2.66 vs 3.06 ms rollout) — smaller state planes pipeline better;
+# gather cost is per-element either way.
+MAX_M_TILE = 256
 VMEM_BUDGET = 12 * 1024 * 1024  # conservative slice of ~16 MB/core
 
 
@@ -159,10 +162,10 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "T", "speed_map", "fast_trig",
-                                    "interpret"))
+                                    "interpret", "m_tile"))
 def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
                                  *, H, W, T, speed_map=False, fast_trig=False,
-                                 interpret=False):
+                                 interpret=False, m_tile=None):
     """Fused rollout on TPU.
 
     Args:
@@ -182,7 +185,7 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
     hw_pad = _ceil_to(hw, LANES)
     n_chunks = hw_pad // LANES
     m_pad = _ceil_to(max(M, 8), 8)
-    m_tile = min(m_pad, MAX_M_TILE)
+    m_tile = min(m_pad, MAX_M_TILE if m_tile is None else m_tile)
     m_pad = _ceil_to(m_pad, m_tile)
 
     flat = packed_words.reshape(M, hw)
