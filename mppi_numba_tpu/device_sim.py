@@ -121,12 +121,11 @@ def make_device_trial(static: SolverStatic, max_steps: int):
     return jax.jit(trial_fn)
 
 
-@functools.lru_cache(maxsize=None)
-def make_device_trial_batch(static: SolverStatic, max_steps: int):
-    """vmapped trial engine: every argument gains a leading batch axis.
+def make_episode_fn(static: SolverStatic, max_steps: int):
+    """One full masked-early-exit episode as a pure function (no jit/vmap).
 
-    Batched early exit uses a fixed ``fori_loop`` with per-trial masking so
-    the batch stays SIMD; finished trials freeze their state.
+    Building block for both the local batched engine below and the
+    scenario-sharded multi-chip engine (``parallel.sharded``).
     """
     solve_fn = get_terrain_solver(static)
     step_core = _make_step_core(solve_fn, static.num_steps)
@@ -158,4 +157,14 @@ def make_device_trial_batch(static: SolverStatic, max_steps: int):
         return TrialResult(steps=steps, success=reached, dist_to_goal=dist,
                            cum_dist_to_goal=cum_dist, cum_obj=cum_obj)
 
-    return jax.jit(jax.vmap(one))
+    return one
+
+
+@functools.lru_cache(maxsize=None)
+def make_device_trial_batch(static: SolverStatic, max_steps: int):
+    """vmapped trial engine: every argument gains a leading batch axis.
+
+    Batched early exit uses a fixed ``fori_loop`` with per-trial masking so
+    the batch stays SIMD; finished trials freeze their state.
+    """
+    return jax.jit(jax.vmap(make_episode_fn(static, max_steps)))

@@ -114,6 +114,32 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
     return jax.jit(smap)
 
 
+def make_sharded_trial_batch(static: SolverStatic, max_steps: int, mesh,
+                             scenario_axis=SCENARIO_AXIS,
+                             rollout_axis=ROLLOUT_AXIS):
+    """Scenario-sharded device-resident episodes: the benchmark engine at
+    pod scale.
+
+    Episodes are fully independent (SURVEY §2.4: scenario batching is pure
+    data parallelism with ZERO cross-chip traffic), so the batch axis is
+    sharded over ALL mesh devices — both named axes — and each device runs
+    its slice of closed-loop trials with the local fused solver.  The batch
+    size must divide the device count.
+
+    Returned callable has the ``make_device_trial_batch`` signature: every
+    argument carries a leading batch axis.
+    """
+    from ..device_sim import make_episode_fn
+
+    body = jax.vmap(make_episode_fn(static, max_steps))
+    both = (scenario_axis, rollout_axis)
+    smap = shard_map(body, mesh=mesh,
+                     in_specs=(P(both),) * 6,
+                     out_specs=P(both),
+                     check_vma=False)
+    return jax.jit(smap)
+
+
 @functools.lru_cache(maxsize=None)
 def _cached_sharded_solver(static, mesh_key, mesh):
     return make_sharded_terrain_solver(static, mesh)

@@ -82,3 +82,31 @@ def test_sharded_solver_is_cached():
     a = get_sharded_terrain_solver(static, mesh)
     b = get_sharded_terrain_solver(static, mesh)
     assert a is b
+
+
+def test_sharded_trial_batch_matches_local():
+    """Scenario-sharded episodes (8 devices) == local vmapped episodes."""
+    import __graft_entry__ as g
+    from mppi_numba_tpu.device_sim import make_device_trial_batch
+    from mppi_numba_tpu.parallel.mesh import make_mesh
+    from mppi_numba_tpu.parallel.sharded import make_sharded_trial_batch
+
+    B = 8
+    static, maps, task, u0 = g._make_problem(S=B, K=64, M=8, T=8, H=7, W=7)
+    rng = np.random.RandomState(0)
+    gt = jnp.asarray(rng.uniform(0.4, 1.0, (B, 5, 5)).astype(np.float32))
+    meta = jnp.asarray(np.tile(np.array([0.0, 0.0, 1.0], np.float32),
+                               (B, 1)))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+    args = (keys, maps, task, gt, gt, meta)
+
+    local = make_device_trial_batch(static, 10)(*args)
+    mesh = make_mesh(2, 4)
+    sharded = make_sharded_trial_batch(static, 10, mesh)(*args)
+
+    np.testing.assert_array_equal(np.asarray(local.steps),
+                                  np.asarray(sharded.steps))
+    np.testing.assert_array_equal(np.asarray(local.success),
+                                  np.asarray(sharded.success))
+    np.testing.assert_allclose(np.asarray(local.cum_obj),
+                               np.asarray(sharded.cum_obj), rtol=1e-4)
