@@ -64,6 +64,14 @@ def build_flagship(K=1024, M=1024, T=100, H=11, W=11, B=22, cvar_alpha=0.2):
 
 
 def main():
+    # Persistent compile cache (timing warms up first, so this only cuts
+    # process startup, not the measured latency).
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     static, maps, task = build_flagship()
     fn = get_terrain_solver(static)
     T = static.num_steps

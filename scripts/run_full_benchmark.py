@@ -26,6 +26,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def enable_compile_cache():
+    """Persistent XLA compile cache: sweep subprocesses (and re-runs) reuse
+    each other's executables — measured 16 s -> 0.6 s across processes on
+    the tethered v5e."""
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 GRASS_DENSITY_LIST = [1.0, 0.7, 0.4, 0.1]
 ENVS_PER_DENSITY = 10
 TRIALS_PER_ENV = 3
@@ -60,6 +72,7 @@ def run_one_sweep(method):
     alpha_dyn), so per-method isolation costs a single XLA compile while
     keeping crash blast-radius small.
     """
+    enable_compile_cache()
     from mppi_numba_tpu.benchmark import run_trials_device
     world, cfg, params = build_problem()
     df = run_trials_device(cfg, world, MAX_STEPS, GRID_SHAPE, MUD_MARGIN,
