@@ -177,10 +177,46 @@ def main():
 
     t0 = time.time()
     logger = trial(planner, gt_grid, cfg.dt, max_steps=400,
-                   mppi_params=params)
+                   mppi_params=params, return_history=True)
+    xhist = logger.pop("xhist")
+    logger.pop("uhist")
     print("episode finished in {:.1f}s wall clock".format(time.time() - t0))
     print({k: (round(v, 3) if isinstance(v, float) else v)
            for k, v in logger.items()})
+
+    # Visualization in the spirit of the reference's (missing) notebook:
+    # mean predicted traction, the confidence-derived unknown mask, and the
+    # executed trajectory.
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    pred_mean = (np.asarray(pred["lin_pmf_grid"]) / 100.0
+                 * np.asarray(pred["bin_values"],
+                              dtype=float)[:, None, None]).sum(0)
+    extent = [xlimits[0], xlimits[1], ylimits[0], ylimits[1]]
+    fig, axes = plt.subplots(1, 2, figsize=(11, 6))
+    for ax, img, title, cmap in (
+            (axes[0], pred_mean, "predicted mean linear traction",
+             "viridis"),
+            (axes[1], np.ma.masked_where(unknown == 0, unknown),
+             "unknown (confidence < {})".format(conf_thres), "autumn")):
+        if title.startswith("unknown"):
+            ax.imshow(pred_mean, origin="lower", extent=extent,
+                      cmap="gray", alpha=0.7)
+        im = ax.imshow(img, origin="lower", extent=extent, cmap=cmap,
+                       alpha=0.9)
+        ax.plot(xhist[:, 0], xhist[:, 1], "c-", lw=2, label="trajectory")
+        ax.plot(*x0[:2], "go", ms=9, label="start")
+        ax.plot(*xgoal, "r*", ms=14, label="goal")
+        ax.set_title(title)
+        ax.legend(loc="lower right", fontsize=8)
+    fig.colorbar(im, ax=axes[1], shrink=0.7)
+    out = "examples/confidence_planning.png"
+    fig.savefig(out, dpi=110, bbox_inches="tight")
+    print("saved", out)
 
 
 if __name__ == "__main__":

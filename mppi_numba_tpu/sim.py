@@ -21,10 +21,12 @@ def simulate_step(x, u, lin_traction, ang_traction, dt):
     ])
 
 
-def trial(mppi_planner, traction_grid, dt, max_steps, mppi_params, **_unused):
+def trial(mppi_planner, traction_grid, dt, max_steps, mppi_params,
+          return_history=False, **_unused):
     """One closed-loop episode; returns the reference's trial-metric dict:
     time_to_goal, success, dist_to_goal, cum_dist_to_goal, avg_dist_to_goal,
-    cum_obj."""
+    cum_obj.  With ``return_history`` the dict additionally carries ``xhist``
+    ``(steps+1, 3)`` and ``uhist`` ``(steps, 2)`` for plotting."""
     xhist = np.full((max_steps + 1, 3), np.nan)
     uhist = np.full((max_steps, 2), np.nan)
     xhist[0] = mppi_params["x0"]
@@ -58,7 +60,7 @@ def trial(mppi_planner, traction_grid, dt, max_steps, mppi_params, **_unused):
     else:
         cum_obj += dist_to_goal / mppi_params["v_post_rollout"]
 
-    return dict(
+    logger = dict(
         time_to_goal=(t + 1) * dt if goal_reached else np.nan,
         success=goal_reached,
         dist_to_goal=dist_to_goal,
@@ -66,3 +68,7 @@ def trial(mppi_planner, traction_grid, dt, max_steps, mppi_params, **_unused):
         avg_dist_to_goal=cum_dist_to_goal / (t + 1),
         cum_obj=cum_obj,
     )
+    if return_history:
+        logger["xhist"] = xhist[:t + 2]
+        logger["uhist"] = uhist[:t + 1]
+    return logger

@@ -92,3 +92,37 @@ def test_planner_solves_with_confidence_unknown_mask():
     # fewer than the straight-line plan's.
     states = planner.get_state_rollout()
     assert np.isfinite(states).all()
+
+
+def test_trial_return_history():
+    from mppi_numba_tpu import trial, TractionGrid
+    num_bins, H, W = 6, 8, 8
+    bin_values = np.linspace(0.0, 1.0, num_bins)
+    pmf = np.zeros((num_bins, H, W), dtype=np.int8)
+    pmf[-1] = 100
+    cfg = Config(T=2.0, dt=0.1, num_grid_samples=8, num_control_rollouts=128,
+                 max_speed_padding=2.0, max_map_dim=(12, 12), seed=0,
+                 use_tdm=True)
+    tdm_dict = dict(res=1.0, xlimits=(0.0, float(W)), ylimits=(0.0, float(H)),
+                    bin_values=bin_values,
+                    bin_values_bounds=np.array([0.0, 1.0]),
+                    det_dynamics_cvar_alpha=1.0)
+    lin, ang = TDM(cfg), TDM(cfg)
+    lin.set_TDM_from_PMF_grid(pmf, tdm_dict)
+    ang.set_TDM_from_PMF_grid(pmf, tdm_dict)
+    params = dict(dt=cfg.dt, x0=np.array([1.0, 1.0, 0.8]),
+                  xgoal=np.array([6.0, 6.0]), goal_tolerance=0.5,
+                  v_post_rollout=0.01, cvar_alpha=1.0, alpha_dyn=1.0,
+                  dist_weight=1.0, lambda_weight=1.0, num_opt=1,
+                  u_std=np.array([1.5, 2.0]), vrange=np.array([0.0, 2.0]),
+                  wrange=np.array([-3.14, 3.14]))
+    p = MPPIPlanner(cfg)
+    p.setup(params, lin, ang)
+    gt = TractionGrid(np.ones((H, W)), np.ones((H, W)))
+    log = trial(p, gt, cfg.dt, 30, params, return_history=True)
+    steps = int(round(log["time_to_goal"] / cfg.dt)) if log["success"] else 30
+    assert log["xhist"].shape == (steps + 1, 3)
+    assert log["uhist"].shape == (steps, 2)
+    assert np.isfinite(log["xhist"]).all()
+    # History starts at x0 and ends near the goal on success.
+    np.testing.assert_allclose(log["xhist"][0], params["x0"])
