@@ -33,7 +33,16 @@ def save_planner_state(planner, path):
 
 
 def load_planner_state(planner, path):
-    """Restore a snapshot; the planner resumes exactly where it left off."""
+    """Restore a snapshot; the planner resumes exactly where it left off.
+
+    TDMs are map data, not planner state — a terrain planner must have its
+    TDMs attached (``setup``/``set_tdm``) BEFORE restoring, exactly as after
+    a fresh construction (reference workflow: mppi_numba/terrain.py:78-84).
+    """
+    if getattr(planner, "tdm_set", True) is False:
+        raise RuntimeError(
+            "load_planner_state: attach TDMs first (planner.setup(...) or "
+            "set_tdm(...)) — the snapshot holds planner state, not maps.")
     with open(path, "rb") as fh:
         state = pickle.load(fh)
     planner.u_cur = jnp.asarray(state["u_cur"])

@@ -37,7 +37,7 @@ class TrialResult(NamedTuple):
     cum_obj: object
 
 
-def _make_step_core(solve_fn, T):
+def _make_step_core(solve_fn):
     """The shared episode step: solve -> ground-truth Euler step -> shift.
 
     Returns ``step(x, u, key, maps, task, gt_lin, gt_ang, gt_meta) ->
@@ -89,7 +89,7 @@ def make_device_trial(static: SolverStatic, max_steps: int):
     Uses a ``while_loop`` so the episode EXITS EARLY at goal reach.
     """
     solve_fn = get_terrain_solver(static)
-    step_core = _make_step_core(solve_fn, static.num_steps)
+    step_core = _make_step_core(solve_fn)
     T = static.num_steps
 
     def trial_fn(key, maps, task, gt_lin, gt_ang, gt_meta):
@@ -128,7 +128,7 @@ def make_episode_fn(static: SolverStatic, max_steps: int):
     scenario-sharded multi-chip engine (``parallel.sharded``).
     """
     solve_fn = get_terrain_solver(static)
-    step_core = _make_step_core(solve_fn, static.num_steps)
+    step_core = _make_step_core(solve_fn)
     T = static.num_steps
 
     def one(key, maps, task, gt_lin, gt_ang, gt_meta):

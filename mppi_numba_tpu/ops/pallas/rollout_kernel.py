@@ -45,14 +45,21 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-def pallas_rollout_supported(num_grid_samples, map_hw, vmem_budget=VMEM_BUDGET):
-    """Whether the fused kernel fits: chunked map + state tiles in VMEM."""
+def pallas_rollout_supported(num_grid_samples, map_hw, num_steps=128,
+                             vmem_budget=VMEM_BUDGET):
+    """Whether the fused kernel fits: chunked map + state tiles in VMEM.
+
+    Mosaic double-buffers the grid-varying input blocks (map chunks and the
+    two (T, LANES) control buffers), so those count twice; state planes
+    (x, y, heading x2, cost, dist2, reached) and the output tile live once.
+    """
     hw_pad = _ceil_to(map_hw, LANES)
     n_chunks = hw_pad // LANES
     m_pad = _ceil_to(max(num_grid_samples, 8), 8)
     m_tile = min(m_pad, MAX_M_TILE)
-    # chunks + 6 state planes + controls + output, in f32/int32 words
-    words = n_chunks * m_tile * LANES + 8 * m_tile * LANES
+    words = (2 * n_chunks * m_tile * LANES      # map chunks, double-buffered
+             + 2 * 2 * num_steps * LANES        # v + w controls, double-buffered
+             + 8 * m_tile * LANES)              # state planes + output tile
     return words * 4 <= vmem_budget
 
 

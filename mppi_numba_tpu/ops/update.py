@@ -14,30 +14,42 @@ instead of K*T*2 atomic adds.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
+from ..models import clip_controls
 
-def update_useq(costs, noise, u_cur, lambda_weight, vrange, wrange):
+
+def update_useq(costs, noise, u_cur, lambda_weight, vrange, wrange,
+                axis_name=None):
     """One MPPI control update.
 
     Args:
-      costs: float32 ``(K,)`` rollout costs.
+      costs: float32 ``(K,)`` rollout costs (``K_local`` under sharding).
       noise: float32 ``(K, T, 2)`` control perturbations.
       u_cur: float32 ``(T, 2)`` current nominal control sequence.
       lambda_weight: scalar temperature.
       vrange, wrange: ``(2,)`` actuation bounds.
+      axis_name: when the K axis is sharded over a mesh axis (shard_map),
+        its name — the three reductions (``beta`` min, normalizer sum,
+        weighted-noise sum) then run as ``pmin``/``psum`` collectives, the
+        ONLY cross-chip traffic of a distributed solve (SURVEY §5.8).
 
     Returns:
-      (u_new ``(T, 2)``, weights ``(K,)``).
+      (u_new ``(T, 2)``, weights ``(K,)`` — shard-local under sharding).
     """
     beta = jnp.min(costs)
+    if axis_name is not None:
+        beta = jax.lax.pmin(beta, axis_name)
     w = jnp.exp(-(costs - beta) / lambda_weight)
-    w = w / jnp.sum(w)
+    eta = jnp.sum(w)
+    if axis_name is not None:
+        eta = jax.lax.psum(eta, axis_name)
+    w = w / eta
     du = jnp.einsum("k,ktc->tc", w, noise,
                     preferred_element_type=jnp.float32)
+    if axis_name is not None:
+        du = jax.lax.psum(du, axis_name)
     u_new = u_cur + du
-    u_new = jnp.stack([
-        jnp.clip(u_new[:, 0], vrange[0], vrange[1]),
-        jnp.clip(u_new[:, 1], wrange[0], wrange[1]),
-    ], axis=-1)
-    return u_new, w
+    v, om = clip_controls(u_new, vrange, wrange)
+    return jnp.stack([v, om], axis=-1), w

@@ -30,10 +30,12 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..config import SolverStatic
-from ..ops.cvar import cvar_from_costs
+from ..models import get_step_fn
+from ..ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 from ..ops.packing import pack_map_words
 from ..ops.rollout import control_coupling, terrain_rollout_costs
 from ..ops.sampling import sample_noise, sample_traction_grids
+from ..ops.update import update_useq
 from .mesh import ROLLOUT_AXIS, SCENARIO_AXIS
 
 
@@ -52,6 +54,7 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
     T = static.num_steps
     M = static.num_grid_samples
     speed_map = static.mode == "speed_map"
+    step_fn = get_step_fn(static.model)
     n_k = mesh.shape[rollout_axis]
     assert K % n_k == 0, f"K={K} must divide over {n_k} rollout shards"
     k_local = K // n_k
@@ -77,25 +80,21 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
             noise = jax.lax.dynamic_slice_in_dim(noise_full, my_k * k_local,
                                                  k_local, axis=0)
             costs_km = terrain_rollout_costs(packed, task, u, noise,
-                                             speed_map=speed_map)
-            costs = (cvar_from_costs(costs_km, static.cvar_numel)
-                     + control_coupling(u, noise, task.u_std,
-                                        task.lambda_weight))
+                                             speed_map=speed_map,
+                                             step_fn=step_fn)
+            if static.cvar_numel == -1:          # DYNAMIC_CVAR sentinel
+                cvar = cvar_from_costs_dynamic(costs_km, task.cvar_alpha)
+            else:
+                cvar = cvar_from_costs(costs_km, static.cvar_numel)
+            costs = cvar + control_coupling(u, noise, task.u_std,
+                                            task.lambda_weight)
 
-            # Distributed softmax update (reference: mppi.py:1134-1191).
-            beta = jax.lax.pmin(jnp.min(costs), rollout_axis)
-            w = jnp.exp(-(costs - beta) / task.lambda_weight)
-            eta = jax.lax.psum(jnp.sum(w), rollout_axis)
-            w = w / eta
-            du = jax.lax.psum(
-                jnp.einsum("k,ktc->tc", w, noise,
-                           preferred_element_type=jnp.float32),
-                rollout_axis)
-            u = u + du
-            u = jnp.stack([
-                jnp.clip(u[:, 0], task.vrange[0], task.vrange[1]),
-                jnp.clip(u[:, 1], task.wrange[0], task.wrange[1]),
-            ], axis=-1)
+            # Distributed softmax update (reference: mppi.py:1134-1191):
+            # same math as the single-device update, reductions bound to the
+            # rollout mesh axis.
+            u, _ = update_useq(costs, noise, u, task.lambda_weight,
+                               task.vrange, task.wrange,
+                               axis_name=rollout_axis)
         return u, costs
 
     def shard_body(keys, maps, task, u0):

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverStatic
-from .models import get_step_fn
+from .models import clip_controls, get_step_fn
 from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 
 # Sentinel for SolverStatic.cvar_numel: read the traced task.cvar_alpha
@@ -46,12 +46,18 @@ def resolve_backend(static: SolverStatic) -> str:
     oversized maps).
     """
     if static.backend != "auto":
+        if static.backend == "pallas" and static.model != "unicycle":
+            raise ValueError(
+                "backend='pallas' supports only the unicycle model (the "
+                "fused kernel hard-codes it); model={!r} needs backend "
+                "'xla' or 'auto'".format(static.model))
         return static.backend
     if static.mode == "barebone" or static.model != "unicycle":
         return "xla"
     H, W = static.map_shape
     if (jax.default_backend() == "tpu"
-            and pallas_rollout_supported(static.num_grid_samples, H * W)):
+            and pallas_rollout_supported(static.num_grid_samples, H * W,
+                                         static.num_steps)):
         return "pallas"
     return "xla"
 
@@ -144,10 +150,8 @@ def get_terrain_vis(static: SolverStatic):
             grids_l = jnp.broadcast_to(lin_grids[0], (V,) + lin_grids.shape[1:])
             grids_a = jnp.broadcast_to(ang_grids[0], (V,) + ang_grids.shape[1:])
             noisy = u_prev[None] + noise_vis                       # (V, T, 2)
-            noisy = jnp.stack([
-                jnp.clip(noisy[..., 0], task.vrange[0], task.vrange[1]),
-                jnp.clip(noisy[..., 1], task.wrange[0], task.wrange[1]),
-            ], axis=-1)
+            noisy = jnp.stack(clip_controls(noisy, task.vrange, task.wrange),
+                              axis=-1)
             controls = jnp.concatenate([u_cur[None], noisy[1:]], axis=0)
         else:
             grids_l = lin_grids[:V]
@@ -189,10 +193,8 @@ def get_barebone_vis(static: SolverStatic):
 
     def vis_fn(task, u_cur, u_prev, noise_vis):
         noisy = u_prev[None] + noise_vis
-        noisy = jnp.stack([
-            jnp.clip(noisy[..., 0], task.vrange[0], task.vrange[1]),
-            jnp.clip(noisy[..., 1], task.wrange[0], task.wrange[1]),
-        ], axis=-1)
+        noisy = jnp.stack(clip_controls(noisy, task.vrange, task.wrange),
+                          axis=-1)
         controls = jnp.concatenate([u_cur[None], noisy[1:]], axis=0)
         return barebone_vis_states(task, controls)
 

@@ -110,3 +110,31 @@ def test_sharded_trial_batch_matches_local():
                                   np.asarray(sharded.success))
     np.testing.assert_allclose(np.asarray(local.cum_obj),
                                np.asarray(sharded.cum_obj), rtol=1e-4)
+
+
+def test_sharded_solver_honors_model_and_dynamic_cvar():
+    """The sharded solve must honor the FULL static signature: non-unicycle
+    models and the dynamic-CVaR sentinel (both previously silently ignored)."""
+    import dataclasses
+    import __graft_entry__ as g
+    from mppi_numba_tpu.parallel.mesh import make_mesh
+    from mppi_numba_tpu.parallel.sharded import get_sharded_terrain_solver
+    from mppi_numba_tpu.solver import DYNAMIC_CVAR, get_terrain_solver
+
+    S, K = 2, 64
+    static, maps, task, u0 = g._make_problem(S=S, K=K, M=8, T=8, H=7, W=7)
+    static = dataclasses.replace(static, model="bicycle",
+                                 cvar_numel=DYNAMIC_CVAR, backend="xla")
+    task = task._replace(cvar_alpha=jnp.full((S,), 0.5, jnp.float32))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+
+    mesh = make_mesh(1, 8)
+    u_sh, costs_sh = get_sharded_terrain_solver(static, mesh)(
+        keys, maps, task, u0)
+
+    # Single-device oracle: same static, vmapped over scenarios.
+    solve = get_terrain_solver(static)
+    u_ref, _ = jax.vmap(solve)(keys, maps, task,
+                               jnp.zeros_like(np.asarray(u_sh)))
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=2e-4, atol=2e-5)
