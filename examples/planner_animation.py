@@ -5,7 +5,11 @@ Mirrors reference: planner_example_vis_gif.ipynb — a 12x6 world with a
 vegetation block, closed-loop replanning with per-step rollout
 visualization, rendered to an animated GIF (example_gifs/ equivalents).
 
-Usage: python examples/planner_animation.py [tdm|det|speed]
+Usage: python examples/planner_animation.py [tdm|det|speed] [alpha]
+
+The reference's committed GIF set (example_gifs/) sweeps
+cvar_obj_alpha in {0.4, 1.0} (tdm mode) and cvar_dyn_alpha in {0.4, 1.0}
+(det mode); passing ``alpha`` reproduces those parameterizations.
 """
 
 import sys
@@ -16,6 +20,10 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 from matplotlib import animation
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 from mppi_numba_tpu import Config, MPPIPlanner, TDM, make_benchmark_world
 from mppi_numba_tpu.visualization import TDMVisualizer
@@ -31,7 +39,7 @@ def fixed_semantic_map():
     return sg
 
 
-def main(mode="tdm"):
+def main(mode="tdm", alpha=None):
     rng = np.random.RandomState(2)
     world = make_benchmark_world(num_bins=20, rng=rng)
     sg = fixed_semantic_map()
@@ -47,8 +55,10 @@ def main(mode="tdm"):
                  max_map_dim=(20, 26), seed=1,
                  use_tdm=mode == "tdm", use_det_dynamics=mode == "det",
                  use_nom_dynamics_with_speed_map=mode == "speed")
-    cvar_alpha = 0.4 if mode == "tdm" else 1.0
-    alpha_dyn = 1.0 if mode == "tdm" else 0.4
+    if alpha is None:
+        alpha = 0.4
+    cvar_alpha = alpha if mode == "tdm" else 1.0
+    alpha_dyn = 1.0 if mode == "tdm" else alpha
 
     x0 = np.array([0.5, 0.5, 0.0])
     xgoal = np.array([11.5, 5.5])
@@ -106,10 +116,12 @@ def main(mode="tdm"):
 
     anim = animation.FuncAnimation(fig, update, frames=len(frames),
                                    interval=100, blit=True)
-    out = "examples/planner_animation_{}.gif".format(mode)
+    kind = "cvar_obj_alpha" if mode == "tdm" else "cvar_dyn_alpha"
+    out = "examples/planner_{}_{}_{}.gif".format(mode, kind, alpha)
     anim.save(out, writer=animation.PillowWriter(fps=10))
     print("saved", out)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "tdm")
+    main(sys.argv[1] if len(sys.argv) > 1 else "tdm",
+         float(sys.argv[2]) if len(sys.argv) > 2 else None)
