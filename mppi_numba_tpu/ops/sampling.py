@@ -67,9 +67,14 @@ def sample_traction_grids(key, pmf_grid, qbin_values, alpha_dyn, num_samples):
     Returns:
       int8 ``(M, H, W)`` sampled traction grids (values 0..100).
     """
-    _, H, W = pmf_grid.shape
-    cum = jnp.cumsum(pmf_grid.astype(jnp.int32), axis=0)            # (B,H,W)
-    u = jax.random.uniform(key, (num_samples, H, W), dtype=jnp.float32)
-    sampled = jnp.ceil(u * (100.0 * alpha_dyn)).astype(jnp.int32)    # (M,H,W)
-    bin_idx = jnp.sum(cum[None] < sampled[:, None], axis=1)          # (M,H,W)
-    return jnp.take(qbin_values, bin_idx, axis=0)
+    B, H, W = pmf_grid.shape
+    # Flatten the map into the lane (minor) axis: trailing (H, W) dims like
+    # (11, 11) waste ~90% of every (8, 128) vector register on TPU; (.., HW)
+    # tiles densely.  Same math, same outputs.
+    flat = pmf_grid.reshape(B, H * W)
+    cum = jnp.cumsum(flat.astype(jnp.int32), axis=0)                 # (B,HW)
+    u = jax.random.uniform(key, (num_samples, H * W), dtype=jnp.float32)
+    sampled = jnp.ceil(u * (100.0 * alpha_dyn)).astype(jnp.int32)    # (M,HW)
+    bin_idx = jnp.sum(cum[None] < sampled[:, None], axis=1)          # (M,HW)
+    return jnp.take(qbin_values, bin_idx, axis=0).reshape(
+        num_samples, H, W)
