@@ -114,3 +114,44 @@ def test_pmf_grid_alpha_one_modes():
     risk = risk_map_from_pmf_grid(pmf, bin_values, np.array([0.0, 1.0]), 1.0)
     means = (0.01 * pmf.astype(float) * bin_values.reshape(-1, 1, 1)).sum(0)
     np.testing.assert_array_equal(risk[0], (100 * means).astype(np.int8))
+
+
+def test_faq_nominal_dynamics_via_two_bin_pmf_grid():
+    """Reference FAQ 1 (README.md:134-152): nominal unicycle MPPI through
+    the TDM interface — a 2-bin PMF grid with all mass in the last bin
+    (perfect traction).  The rollout must see traction 1 everywhere."""
+    import numpy as np
+    from mppi_numba_tpu import Config, MPPIPlanner, TDM
+
+    HEIGHT = WIDTH = 10
+    cfg = Config(T=3.0, dt=0.1, num_grid_samples=4, num_control_rollouts=256,
+                 max_speed_padding=2.0, max_map_dim=(14, 14), seed=0,
+                 use_tdm=True)
+    tdm_params = dict(xlimits=(0.0, float(WIDTH)),
+                      ylimits=(0.0, float(HEIGHT)), res=1.0,
+                      bin_values=np.array([0.0, 1.0]),
+                      bin_values_bounds=np.array([0.0, 1.0]),
+                      det_dynamics_cvar_alpha=1.0)
+    nominal = np.zeros((2, HEIGHT, WIDTH), dtype=np.int8)
+    nominal[-1] = 100
+    lin, ang = TDM(cfg), TDM(cfg)
+    lin.set_TDM_from_PMF_grid(nominal, tdm_params)
+    ang.set_TDM_from_PMF_grid(nominal, tdm_params)
+
+    # Every sampled map must decode to traction 1 inside the map.
+    grids = np.asarray(lin.sample_grids())
+    inner = grids[:, 2:-2, 2:-2]
+    assert (lin.int8_grid_to_float32(inner) == 1.0).all()
+
+    params = dict(dt=cfg.dt, x0=np.array([1.0, 1.0, 0.8]),
+                  xgoal=np.array([8.0, 8.0]), goal_tolerance=0.5,
+                  v_post_rollout=0.01, cvar_alpha=1.0, alpha_dyn=1.0,
+                  dist_weight=1.0, lambda_weight=1.0, num_opt=1,
+                  u_std=np.array([1.5, 2.0]), vrange=np.array([0.0, 2.0]),
+                  wrange=np.array([-3.14, 3.14]))
+    p = MPPIPlanner(cfg)
+    p.setup(params, lin, ang)
+    useq = p.solve()
+    assert np.isfinite(useq).all()
+    # With perfect traction toward an open goal, MPPI commands forward speed.
+    assert np.asarray(useq)[:5, 0].mean() > 0.5
