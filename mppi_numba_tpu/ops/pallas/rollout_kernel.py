@@ -122,6 +122,12 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
             # degree-4/5 Maclaurin rotation replaces two full-range
             # transcendentals — the TPU analog of the reference's CUDA
             # fastmath sin/cos (reference: mppi_numba/mppi.py:614 fastmath=True).
+            # Accuracy: cost error vs exact trig is ~1e-6 on smooth terrain
+            # (scripts/tpu_parity_check.py).  On per-cell maps the usual
+            # caveat of ANY trig approximation applies: a 1e-6 trajectory
+            # perturbation can relocate individual rollouts across cell /
+            # penalty / goal boundaries — statistically neutral (benchmark
+            # success rates unchanged), exactly like the reference's fastmath.
             cth, sth = hd
             z2 = dth * dth
             cd = 1.0 - z2 * (0.5 - z2 * (1.0 / 24.0))

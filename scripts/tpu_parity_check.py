@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""On-device Pallas-vs-XLA rollout parity check.
+
+The CPU test suite validates the Pallas kernel in interpret mode
+(tests/test_pallas_kernel.py); this script runs the SAME comparisons on the
+real TPU, catching Mosaic lowering bugs interpret mode cannot see.  Run it
+after any kernel change:
+
+    python scripts/tpu_parity_check.py
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mppi_numba_tpu.ops.packing import pack_map_words
+from mppi_numba_tpu.ops.pallas.rollout_kernel import (build_task_vec,
+                                                      terrain_rollout_costs_pallas)
+from mppi_numba_tpu.ops.rollout import (_clipped_controls_tk,
+                                        terrain_rollout_costs)
+from mppi_numba_tpu.types import TerrainTask
+
+
+def build_problem(seed, K, M, T, H, W, B=22, cliffs=True):
+    """``cliffs=False`` removes every discontinuity — obstacle/unknown
+    penalties, the early goal break, AND per-cell traction variation (a
+    piecewise-constant dynamics field chaotically amplifies any trajectory
+    perturbation) — so an APPROXIMATE trig variant can be compared on a
+    smooth cost surface.  With cliffs, even a 1e-6/step perturbation flips
+    discrete outcomes on a few of the 10^5+ rollouts."""
+    rng = np.random.RandomState(seed)
+    if cliffs:
+        lin = rng.randint(0, 101, (M, H, W)).astype(np.int8)
+        ang = rng.randint(0, 101, (M, H, W)).astype(np.int8)
+    else:
+        lin = np.full((M, H, W), 80, np.int8)
+        ang = np.full((M, H, W), 90, np.int8)
+    density = 0.08 if cliffs else 0.0
+    obs = (rng.rand(H, W) < density).astype(np.int8)
+    unk = (rng.rand(H, W) < density).astype(np.int8)
+    risk = rng.randint(1, 101, (H, W)).astype(np.int8)
+    f32 = np.float32
+    task = TerrainTask(
+        x0=jnp.asarray(np.array([2.0, 2.0, 0.4], f32)),
+        xgoal=jnp.asarray(np.array([W * 0.7, H * 0.7], f32)),
+        goal_tolerance=f32(0.6 if cliffs else 0.0),
+        v_post_rollout=f32(0.02),
+        lambda_weight=f32(1.0),
+        u_std=jnp.asarray(np.array([1.5, 2.0], f32)),
+        vrange=jnp.asarray(np.array([0.0, 2.5], f32)),
+        wrange=jnp.asarray(np.array([-3.0, 3.0], f32)),
+        dt=f32(0.1), dist_weight=f32(1.0), obs_penalty=f32(1e4),
+        unknown_penalty=f32(1e2), alpha_dyn=f32(1.0), res=f32(1.0),
+        xlim0=f32(-1.0), ylim0=f32(-1.0), lin_lb=f32(0.0),
+        lin_ratio=f32(0.01), ang_lb=f32(0.0), ang_ratio=f32(0.01))
+    u_cur = jnp.asarray(rng.uniform(-0.5, 1.5, (T, 2)).astype(f32))
+    noise = jnp.asarray(rng.normal(0, 1.0, (K, T, 2)).astype(f32))
+    return task, lin, ang, obs, unk, risk, u_cur, noise
+
+
+# fast_trig cases run cliff-free (no obstacles, no early goal break): a
+# trajectory perturbed by ~1e-6/step (the approximation's whole point, like
+# the reference's CUDA fastmath) can flip a binary penalty cell or cross the
+# goal a step earlier, which says nothing about kernel parity.
+CASES = [
+    # (name, K, M, T, H, W, speed_map, fast_trig)
+    ("flagship-ish", 1024, 256, 50, 11, 11, False, True),
+    ("flagship-obs", 1024, 256, 50, 11, 11, False, False),
+    ("multichunk", 256, 64, 40, 13, 15, False, False),
+    ("speed-map", 512, 1, 60, 11, 11, True, False),
+    ("large-map", 256, 32, 30, 52, 52, False, True),
+]
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    worst = 0.0
+    for name, K, M, T, H, W, speed_map, fast_trig in CASES:
+        task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(
+            7, K, M, T, H, W, cliffs=not fast_trig)
+        packed = pack_map_words(jnp.asarray(lin), jnp.asarray(ang),
+                                jnp.asarray(obs), jnp.asarray(unk),
+                                jnp.asarray(risk) if speed_map else None)
+        ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise,
+                                               speed_map=speed_map))
+        v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange,
+                                            task.wrange)
+        got = np.asarray(terrain_rollout_costs_pallas(
+            packed, build_task_vec(task), v_all, w_all, H=H, W=W, T=T,
+            speed_map=speed_map, fast_trig=fast_trig))
+        scale = np.maximum(np.abs(ref), 1.0)
+        rel = float((np.abs(got - ref) / scale).max())
+        worst = max(worst, rel)
+        # fast_trig is an approximation by design; exact mode must be tight.
+        tol = 5e-3 if fast_trig else 1e-4
+        status = "OK " if rel <= tol else "FAIL"
+        print(f"{status} {name:12s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
+              f"speed_map={int(speed_map)} fast_trig={int(fast_trig)} "
+              f"max rel err {rel:.2e} (tol {tol:.0e})")
+        assert rel <= tol, name
+    print(f"all cases pass; worst rel err {worst:.2e}")
+
+
+if __name__ == "__main__":
+    main()
