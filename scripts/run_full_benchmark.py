@@ -62,7 +62,8 @@ def build_problem():
 
 
 def sweep_path(method):
-    return os.path.join(OUT_DIR, "partial_{}.pickle".format(method))
+    return os.path.join(OUT_DIR, "partial_{}_e{}_t{}.pickle".format(
+        method, ENVS_PER_DENSITY, TRIALS_PER_ENV))
 
 
 def run_one_sweep(method):
@@ -83,11 +84,21 @@ def run_one_sweep(method):
 
 
 def main():
+    global ENVS_PER_DENSITY, TRIALS_PER_ENV
     parser = argparse.ArgumentParser()
     parser.add_argument("--sweep", metavar="METHOD",
                         help="internal: run one method's sweep")
     parser.add_argument("--retries", type=int, default=2)
+    parser.add_argument("--envs", type=int, default=ENVS_PER_DENSITY,
+                        help="environments per density (reference: 10; "
+                             "paper run: 40)")
+    parser.add_argument("--trials", type=int, default=TRIALS_PER_ENV,
+                        help="ground-truth realizations per env "
+                             "(reference: 3; paper run: 5)")
     args = parser.parse_args()
+
+    ENVS_PER_DENSITY = args.envs
+    TRIALS_PER_ENV = args.trials
 
     if args.sweep:
         run_one_sweep(args.sweep)
@@ -107,7 +118,9 @@ def main():
             ran_any = True
             print("sweep {}: launching".format(meth), flush=True)
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--sweep", meth],
+                [sys.executable, os.path.abspath(__file__), "--sweep", meth,
+                 "--envs", str(ENVS_PER_DENSITY),
+                 "--trials", str(TRIALS_PER_ENV)],
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
             if r.returncode != 0:
                 print("sweep {} FAILED (rc={})".format(meth, r.returncode))
