@@ -66,3 +66,29 @@ def save_experiment(path, logger_df, **config_items):
 def load_experiment(path):
     with open(path, "rb") as fh:
         return pickle.load(fh)
+
+
+class _StubState:
+    """Placeholder for classes from the reference's ``mppi_numba`` package."""
+
+    def __setstate__(self, state):
+        self.__dict__.update(state if isinstance(state, dict) else {})
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module.split(".")[0] == "mppi_numba":
+            return type(name, (_StubState,), {"__module__": module})
+        return super().find_class(module, name)
+
+
+def load_reference_experiment(path):
+    """Load an experiment pickle produced by the REFERENCE implementation.
+
+    Reference pickles embed instances of its ``mppi_numba`` classes (e.g.
+    ``Config``), which require a CUDA-capable import; those are replaced by
+    attribute-preserving stubs so the DataFrames and numeric config are
+    readable anywhere (reference: benchmark.ipynb[cell 7] writes them,
+    benchmark_vis.ipynb[cell 2] reads them)."""
+    with open(path, "rb") as fh:
+        return _TolerantUnpickler(fh).load()

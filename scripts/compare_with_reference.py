@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Side-by-side statistical comparison: this engine's TPU benchmark run vs
+the reference's committed 16,000-trial paper run.
+
+Loads the reference's own pickle
+(`/root/reference/mppi_benchmark/envs_40_trials_5_*.pickle`, written by its
+benchmark.ipynb on an RTX 3070) through the tolerant unpickler and overlays
+success-rate-by-alpha curves for the three shared methods against our
+device-batched TPU run.  Writes plots/reference_comparison.png.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+from mppi_numba_tpu.checkpoint import load_experiment, load_reference_experiment
+
+REF = ("/root/reference/mppi_benchmark/"
+       "envs_40_trials_5_densities_4_date_20220907-2234.pickle")
+OURS = "mppi_benchmark/envs_40_trials_5_densities_4_device.pickle"
+
+LABELS = {
+    "noisy_dyn": "Stochastic Traction (Proposed)",
+    "risk_dyn": "Deterministic Traction (CVaR)",
+    "nom_dyn_risk_cost": "Nominal + CVaR Time Cost",
+}
+COLORS = {"noisy_dyn": "tab:red", "risk_dyn": "tab:green",
+          "nom_dyn_risk_cost": "tab:blue"}
+
+
+def main():
+    ours = load_experiment(OURS)
+    ref = load_reference_experiment(REF)
+    alphas = sorted(set(ours["alpha_list"]))
+
+    fig, ax = plt.subplots(figsize=(7.5, 5))
+    for meth in LABELS:
+        for data, style, tag in ((ours, "-o", "ours (TPU v5e, 12k trials)"),
+                                 (ref, "--s", "reference paper run (RTX "
+                                              "3070, 16k trials)")):
+            df = data["logger"]
+            rates = [df[(df.method == meth) & (df.alpha == a)]["success"]
+                     .mean() for a in alphas]
+            ax.plot(alphas, rates, style, color=COLORS[meth],
+                    alpha=1.0 if style == "-o" else 0.55,
+                    label="{} — {}".format(LABELS[meth], tag))
+    ax.set_xlabel("CVaR alpha")
+    ax.set_ylabel("success rate")
+    ax.set_ylim(0, 1.02)
+    ax.set_title("Success rate by alpha: TPU engine vs reference paper data")
+    ax.legend(fontsize=7.5, loc="lower left")
+    ax.grid(alpha=0.3)
+    out = "plots/reference_comparison.png"
+    fig.savefig(out, dpi=110, bbox_inches="tight")
+    print("saved", out)
+
+    print("\nOverall success (ours vs reference paper run):")
+    for meth in LABELS:
+        o = ours["logger"][ours["logger"].method == meth]["success"].mean()
+        r = ref["logger"][ref["logger"].method == meth]["success"].mean()
+        print("  {:22s} {:.3f} vs {:.3f}".format(meth, o, r))
+
+
+if __name__ == "__main__":
+    main()

@@ -68,3 +68,41 @@ def test_chained_solve_timer_runs():
     dt = chained_solve_time(fn, maps_s, task_s, u0[0], num_iters=3)
     assert dt > 0
     assert measure_fetch_rtt(2) >= 0
+
+
+def test_load_reference_experiment_tolerant_unpickler(tmp_path):
+    """Pickles embedding reference mppi_numba classes load via stubs."""
+    import pickle
+    import sys
+    import types
+    import pandas as pd
+    from mppi_numba_tpu.checkpoint import load_reference_experiment
+
+    # Fabricate a module like the reference's and pickle an instance of it.
+    mod = types.ModuleType("mppi_numba")
+    cfg_mod = types.ModuleType("mppi_numba.config")
+
+    class Config:
+        def __init__(self):
+            self.T = 10.0
+            self.use_tdm = True
+
+    cfg_mod.Config = Config
+    Config.__module__ = "mppi_numba.config"
+    Config.__qualname__ = "Config"
+    mod.config = cfg_mod
+    sys.modules["mppi_numba"] = mod
+    sys.modules["mppi_numba.config"] = cfg_mod
+    try:
+        payload = dict(cfg=Config(),
+                       logger=pd.DataFrame(dict(success=[True, False])))
+        p = tmp_path / "ref.pickle"
+        with open(p, "wb") as fh:
+            pickle.dump(payload, fh)
+    finally:
+        del sys.modules["mppi_numba"]
+        del sys.modules["mppi_numba.config"]
+
+    out = load_reference_experiment(str(p))
+    assert out["cfg"].T == 10.0 and out["cfg"].use_tdm is True
+    assert out["logger"]["success"].tolist() == [True, False]
