@@ -112,10 +112,11 @@ def main():
 
 def main_with_retry():
     """The tethered TPU worker occasionally crashes/restarts; a wedged JAX
-    client cannot recover in-process, so retry ONCE in a fresh subprocess
-    (still printing exactly one JSON line)."""
+    client cannot recover in-process, so retry ONCE by REPLACING this
+    process (os.execve — never two live TPU clients at once; CLAUDE.md:
+    two concurrent TPU processes crash the worker).  Still prints exactly
+    one JSON line."""
     import os
-    import subprocess
     import sys
     if os.environ.get("MPPI_BENCH_CHILD") == "1":
         main()
@@ -123,13 +124,15 @@ def main_with_retry():
     try:
         main()
     except Exception as exc:                                  # noqa: BLE001
-        print("bench attempt 1 failed ({}); retrying in a fresh process"
+        print("bench attempt 1 failed ({}); re-execing a fresh process"
               .format(type(exc).__name__), file=sys.stderr)
+        sys.stderr.flush()
+        sys.stdout.flush()
         import time
         time.sleep(20)
         env = dict(os.environ, MPPI_BENCH_CHILD="1")
-        raise SystemExit(subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env).returncode)
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
 
 
 if __name__ == "__main__":

@@ -26,9 +26,8 @@ import time
 
 import numpy as np
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mppi_numba_tpu import (Config, MPPIPlanner, TDM, trial,
                             sample_realization_from_pmf_grid,

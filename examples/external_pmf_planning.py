@@ -10,9 +10,10 @@ initialized via ``set_TDM_from_PMF_grid`` instead of semantic types.
 
 import numpy as np
 
-import os as _os
-import sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mppi_numba_tpu import Config, MPPIPlanner, TDM
 

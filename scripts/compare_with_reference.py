@@ -22,9 +22,9 @@ import matplotlib.pyplot as plt
 
 from mppi_numba_tpu.checkpoint import load_experiment, load_reference_experiment
 
-REF = ("/root/reference/mppi_benchmark/"
-       "envs_40_trials_5_densities_4_date_20220907-2234.pickle")
-OURS = "mppi_benchmark/envs_40_trials_5_densities_4_device.pickle"
+DEFAULT_REF = ("/root/reference/mppi_benchmark/"
+               "envs_40_trials_5_densities_4_date_20220907-2234.pickle")
+DEFAULT_OURS = "mppi_benchmark/envs_40_trials_5_densities_4_device.pickle"
 
 LABELS = {
     "noisy_dyn": "Stochastic Traction (Proposed)",
@@ -36,8 +36,10 @@ COLORS = {"noisy_dyn": "tab:red", "risk_dyn": "tab:green",
 
 
 def main():
-    ours = load_experiment(OURS)
-    ref = load_reference_experiment(REF)
+    ours_path = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_OURS
+    ref_path = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_REF
+    ours = load_experiment(ours_path)
+    ref = load_reference_experiment(ref_path)
     alphas = sorted(set(ours["alpha_list"]))
 
     fig, ax = plt.subplots(figsize=(7.5, 5))

@@ -26,7 +26,7 @@ from mppi_numba_tpu.ops.rollout import (_clipped_controls_tk,
 from mppi_numba_tpu.types import TerrainTask
 
 
-def build_problem(seed, K, M, T, H, W, B=22, cliffs=True):
+def build_problem(seed, K, M, T, H, W, cliffs=True):
     """``cliffs=False`` removes every discontinuity — obstacle/unknown
     penalties, the early goal break, AND per-cell traction variation (a
     piecewise-constant dynamics field chaotically amplifies any trajectory
