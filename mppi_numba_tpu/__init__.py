@@ -23,7 +23,7 @@ from .barebone import BareboneConfig, BareboneMPPI
 from .types import TerrainTask, MapInputs, BareboneTask, SolveAux
 from .sim import trial, simulate_step
 from .benchmark import (make_benchmark_world, make_semantic_grid, run_trials,
-                        default_benchmark_params, METHODS)
+                        default_benchmark_params, METHODS, PAPER_METHODS)
 
 __version__ = "0.1.0"
 
@@ -39,5 +39,5 @@ __all__ = [
     "TerrainTask", "MapInputs", "BareboneTask", "SolveAux",
     "trial", "simulate_step",
     "make_benchmark_world", "make_semantic_grid", "run_trials",
-    "default_benchmark_params", "METHODS",
+    "default_benchmark_params", "METHODS", "PAPER_METHODS",
 ]

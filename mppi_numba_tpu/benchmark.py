@@ -22,6 +22,13 @@ from .sim import trial
 from .terrain import TDM, Terrain
 
 METHODS = ("noisy_dyn", "risk_dyn", "nom_dyn_risk_cost")
+# The reference's paper run (16,000 trials) additionally sweeps a 4th
+# method, "baseline": standard MPPI under nominal dynamics — the planner
+# assumes perfect traction everywhere (its TDM is a one-hot PMF at the last
+# bin, the FAQ-1 workflow; reference README.md:134-152) while the simulator
+# still applies the realized tractions.  Pass method_list=PAPER_METHODS to
+# reproduce the full paper sweep.
+PAPER_METHODS = METHODS + ("baseline",)
 
 
 def make_benchmark_world(num_bins=20, rng=None):
@@ -83,7 +90,7 @@ def _cfg_for_method(orig_cfg: Config, method: str) -> Config:
               max_speed_padding=orig_cfg.max_speed_padding,
               num_vis_state_rollouts=orig_cfg.num_vis_state_rollouts,
               max_map_dim=orig_cfg.max_map_dim, seed=orig_cfg.seed)
-    if method == "risk_dyn":
+    if method in ("risk_dyn", "baseline"):
         return Config(use_det_dynamics=True, **kw)
     if method == "nom_dyn_risk_cost":
         return Config(use_nom_dynamics_with_speed_map=True, **kw)
@@ -156,7 +163,10 @@ def run_trials(orig_cfg, world, max_steps, grid_shape, mud_margin, res,
                     ang_tdm.reset()
                     mppi_planner.reset()
                     trial_params = copy.deepcopy(default_mppi_params)
-                    if method in ("risk_dyn", "nom_dyn_risk_cost"):
+                    if method == "baseline":
+                        trial_params["alpha_dyn"] = 1.0
+                        trial_params["cvar_alpha"] = 1.0
+                    elif method in ("risk_dyn", "nom_dyn_risk_cost"):
                         det_alpha = alpha
                         trial_params["alpha_dyn"] = alpha
                         trial_params["cvar_alpha"] = 1.0
@@ -164,18 +174,36 @@ def run_trials(orig_cfg, world, max_steps, grid_shape, mud_margin, res,
                         det_alpha = None
                         trial_params["alpha_dyn"] = 1.0
                         trial_params["cvar_alpha"] = alpha
-                    lin_tdm.set_TDM_from_semantic_grid(
-                        semantic_grid, res, world["num_pmf_bins"],
-                        world["bin_values"], world["bin_values_bounds"],
-                        xlimits, ylimits, world["id2name"],
-                        world["name2terrain"], world["lin_terrain2pmf"],
-                        det_dynamics_cvar_alpha=det_alpha)
-                    ang_tdm.set_TDM_from_semantic_grid(
-                        semantic_grid, res, world["num_pmf_bins"],
-                        world["bin_values"], world["bin_values_bounds"],
-                        xlimits, ylimits, world["id2name"],
-                        world["name2terrain"], world["ang_terrain2pmf"],
-                        det_dynamics_cvar_alpha=det_alpha)
+                    if method == "baseline":
+                        # Nominal planner: one-hot PMF at the last bin
+                        # (reference FAQ-1 workflow); maps ignore alpha.
+                        nominal_pmf = np.zeros(
+                            (world["num_pmf_bins"],) + semantic_grid.shape,
+                            np.int8)
+                        nominal_pmf[-1] = 100
+                        nominal_dict = dict(
+                            res=res, xlimits=xlimits, ylimits=ylimits,
+                            bin_values=world["bin_values"],
+                            bin_values_bounds=np.asarray(
+                                world["bin_values_bounds"]),
+                            det_dynamics_cvar_alpha=1.0)
+                        lin_tdm.set_TDM_from_PMF_grid(nominal_pmf,
+                                                      nominal_dict)
+                        ang_tdm.set_TDM_from_PMF_grid(nominal_pmf,
+                                                      nominal_dict)
+                    else:
+                        lin_tdm.set_TDM_from_semantic_grid(
+                            semantic_grid, res, world["num_pmf_bins"],
+                            world["bin_values"], world["bin_values_bounds"],
+                            xlimits, ylimits, world["id2name"],
+                            world["name2terrain"], world["lin_terrain2pmf"],
+                            det_dynamics_cvar_alpha=det_alpha)
+                        ang_tdm.set_TDM_from_semantic_grid(
+                            semantic_grid, res, world["num_pmf_bins"],
+                            world["bin_values"], world["bin_values_bounds"],
+                            xlimits, ylimits, world["id2name"],
+                            world["name2terrain"], world["ang_terrain2pmf"],
+                            det_dynamics_cvar_alpha=det_alpha)
 
                     mppi_planner.setup(trial_params, lin_tdm, ang_tdm)
 
@@ -280,28 +308,54 @@ def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
             if verbose:
                 print("device sweep: method={} alpha={} ({} trials)".format(
                     method, alpha, B))
-            det_alpha = None if method == "noisy_dyn" else alpha
-            cvar_alpha = alpha if method == "noisy_dyn" else 1.0
-            alpha_dyn = 1.0 if method == "noisy_dyn" else alpha
+            if method == "baseline":
+                # Nominal-dynamics MPPI: the planner assumes traction 1
+                # everywhere (one-hot PMF at the last bin, the reference's
+                # FAQ-1 workflow); alpha is irrelevant, maps cached once.
+                det_alpha, cvar_alpha, alpha_dyn = "baseline", 1.0, 1.0
+            else:
+                det_alpha = None if method == "noisy_dyn" else alpha
+                cvar_alpha = alpha if method == "noisy_dyn" else 1.0
+                alpha_dyn = 1.0 if method == "noisy_dyn" else alpha
 
             if det_alpha not in maps_by_det_alpha:
                 # Build per-env map tensors once, then index per trial row.
+                nominal_pmf = None
+                if method == "baseline":
+                    shape = next(iter(env_grids.values())).shape
+                    nominal_pmf = np.zeros(
+                        (world["num_pmf_bins"],) + shape, np.int8)
+                    nominal_pmf[-1] = 100
+                    nominal_dict = dict(
+                        res=res, xlimits=xlimits, ylimits=ylimits,
+                        bin_values=world["bin_values"],
+                        bin_values_bounds=np.asarray(
+                            world["bin_values_bounds"]),
+                        det_dynamics_cvar_alpha=1.0)
                 env_maps = {}
                 for key_env, sg in env_grids.items():
                     lin_tdm.reset()
                     ang_tdm.reset()
-                    lin_tdm.set_TDM_from_semantic_grid(
-                        sg, res, world["num_pmf_bins"], world["bin_values"],
-                        world["bin_values_bounds"], xlimits, ylimits,
-                        world["id2name"], world["name2terrain"],
-                        world["lin_terrain2pmf"],
-                        det_dynamics_cvar_alpha=det_alpha)
-                    ang_tdm.set_TDM_from_semantic_grid(
-                        sg, res, world["num_pmf_bins"], world["bin_values"],
-                        world["bin_values_bounds"], xlimits, ylimits,
-                        world["id2name"], world["name2terrain"],
-                        world["ang_terrain2pmf"],
-                        det_dynamics_cvar_alpha=det_alpha)
+                    if method == "baseline":
+                        lin_tdm.set_TDM_from_PMF_grid(nominal_pmf,
+                                                      nominal_dict)
+                        ang_tdm.set_TDM_from_PMF_grid(nominal_pmf,
+                                                      nominal_dict)
+                    else:
+                        lin_tdm.set_TDM_from_semantic_grid(
+                            sg, res, world["num_pmf_bins"],
+                            world["bin_values"],
+                            world["bin_values_bounds"], xlimits, ylimits,
+                            world["id2name"], world["name2terrain"],
+                            world["lin_terrain2pmf"],
+                            det_dynamics_cvar_alpha=det_alpha)
+                        ang_tdm.set_TDM_from_semantic_grid(
+                            sg, res, world["num_pmf_bins"],
+                            world["bin_values"],
+                            world["bin_values_bounds"], xlimits, ylimits,
+                            world["id2name"], world["name2terrain"],
+                            world["ang_terrain2pmf"],
+                            det_dynamics_cvar_alpha=det_alpha)
                     env_maps[key_env] = (
                         np.asarray(lin_tdm.pmf_grid_device),
                         np.asarray(ang_tdm.pmf_grid_device),
@@ -348,7 +402,8 @@ def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
             H, W = lin_tdm.get_padded_grid_xy_dim()
             static = SolverStatic(
                 mode={"noisy_dyn": "tdm", "risk_dyn": "det_dyn",
-                      "nom_dyn_risk_cost": "speed_map"}[method],
+                      "nom_dyn_risk_cost": "speed_map",
+                      "baseline": "det_dyn"}[method],
                 num_steps=cfg.num_steps,
                 num_control_rollouts=cfg.num_control_rollouts,
                 num_grid_samples=M, map_shape=(H, W), num_obstacles=0,

@@ -30,9 +30,10 @@ LABELS = {
     "noisy_dyn": "Stochastic Traction (Proposed)",
     "risk_dyn": "Deterministic Traction (CVaR)",
     "nom_dyn_risk_cost": "Nominal + CVaR Time Cost",
+    "baseline": "Nominal Dynamics (baseline)",
 }
 COLORS = {"noisy_dyn": "tab:red", "risk_dyn": "tab:green",
-          "nom_dyn_risk_cost": "tab:blue"}
+          "nom_dyn_risk_cost": "tab:blue", "baseline": "k"}
 
 
 def main():
@@ -43,7 +44,9 @@ def main():
     alphas = sorted(set(ours["alpha_list"]))
 
     fig, ax = plt.subplots(figsize=(7.5, 5))
-    for meth in LABELS:
+    shared = [m for m in LABELS
+              if m in set(ours["logger"].method) & set(ref["logger"].method)]
+    for meth in shared:
         for data, style, tag in ((ours, "-o", "ours (TPU v5e, 12k trials)"),
                                  (ref, "--s", "reference paper run (RTX "
                                               "3070, 16k trials)")):
@@ -64,7 +67,7 @@ def main():
     print("saved", out)
 
     print("\nOverall success (ours vs reference paper run):")
-    for meth in LABELS:
+    for meth in shared:
         o = ours["logger"][ours["logger"].method == meth]["success"].mean()
         r = ref["logger"][ref["logger"].method == meth]["success"].mean()
         print("  {:22s} {:.3f} vs {:.3f}".format(meth, o, r))

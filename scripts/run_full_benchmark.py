@@ -43,6 +43,7 @@ ENVS_PER_DENSITY = 10
 TRIALS_PER_ENV = 3
 ALPHA_LIST = [1.0, 0.8, 0.6, 0.4, 0.2]
 METHOD_LIST = ["noisy_dyn", "risk_dyn", "nom_dyn_risk_cost"]
+PAPER_METHOD_LIST = METHOD_LIST + ["baseline"]
 GRID_SHAPE = (9, 9)
 MUD_MARGIN = 1
 RES = 1.0
@@ -95,10 +96,18 @@ def main():
     parser.add_argument("--trials", type=int, default=TRIALS_PER_ENV,
                         help="ground-truth realizations per env "
                              "(reference: 3; paper run: 5)")
+    parser.add_argument("--paper", action="store_true",
+                        help="full paper reproduction: 40 envs x 5 "
+                             "realizations x 4 methods incl. the nominal "
+                             "'baseline' = 16,000 trials")
     args = parser.parse_args()
 
+    global METHOD_LIST
     ENVS_PER_DENSITY = args.envs
     TRIALS_PER_ENV = args.trials
+    if args.paper:
+        ENVS_PER_DENSITY, TRIALS_PER_ENV = 40, 5
+        METHOD_LIST = PAPER_METHOD_LIST
 
     if args.sweep:
         run_one_sweep(args.sweep)

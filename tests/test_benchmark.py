@@ -98,3 +98,23 @@ def test_run_trials_device_chunking_matches_unchunked():
     df_chunked = run(4)      # B=6 -> chunks of 4 + padded tail
     df_full = run(None)
     pd.testing.assert_frame_equal(df_chunked, df_full)
+
+
+def test_baseline_method_nominal_planner():
+    """The paper run's 4th method: nominal-dynamics MPPI (planner assumes
+    traction 1; simulator applies realized tractions). Alpha-invariant."""
+    from mppi_numba_tpu.benchmark import run_trials_device
+
+    world = make_benchmark_world(num_bins=8, rng=np.random.RandomState(0))
+    cfg = Config(T=2.0, dt=0.1, num_grid_samples=8, num_control_rollouts=128,
+                 max_speed_padding=3.0, max_map_dim=(11, 11), seed=1,
+                 use_tdm=True)
+    p = default_benchmark_params(cfg, (5, 5), 1)
+    df = run_trials_device(cfg, world, 12, (5, 5), 1, 1.0, p,
+                           grass_density_list=[0.4], envs_per_density=2,
+                           trials_per_env=1, alpha_list=[0.6, 1.0],
+                           method_list=["baseline"], verbose=False)
+    assert len(df) == 4 and np.isfinite(df.cum_obj).all()
+    a = df[df.alpha == 0.6].cum_obj.values
+    b = df[df.alpha == 1.0].cum_obj.values
+    np.testing.assert_allclose(a, b)   # nominal planner ignores alpha
