@@ -46,10 +46,13 @@ def main():
     fig, ax = plt.subplots(figsize=(7.5, 5))
     shared = [m for m in LABELS
               if m in set(ours["logger"].method) & set(ref["logger"].method)]
+    tag_ours = "ours (TPU v5e, {}k trials)".format(
+        len(ours["logger"]) // 1000)
+    tag_ref = "reference paper run (RTX 3070, {}k trials)".format(
+        len(ref["logger"]) // 1000)
     for meth in shared:
-        for data, style, tag in ((ours, "-o", "ours (TPU v5e, 12k trials)"),
-                                 (ref, "--s", "reference paper run (RTX "
-                                              "3070, 16k trials)")):
+        for data, style, tag in ((ours, "-o", tag_ours),
+                                 (ref, "--s", tag_ref)):
             df = data["logger"]
             rates = [df[(df.method == meth) & (df.alpha == a)]["success"]
                      .mean() for a in alphas]
