@@ -83,6 +83,18 @@ def make_semantic_grid(grid_shape, mud_margin, grass_density, rng,
     return semantic_grid
 
 
+def _nominal_pmf_inputs(world, grid_shape, res, xlimits, ylimits):
+    """(pmf_grid, tdm_dict) for the baseline method: one-hot PMF at the
+    last bin = perfect traction everywhere (reference FAQ-1 workflow)."""
+    pmf = np.zeros((world["num_pmf_bins"],) + tuple(grid_shape), np.int8)
+    pmf[-1] = 100
+    tdm_dict = dict(res=res, xlimits=xlimits, ylimits=ylimits,
+                    bin_values=world["bin_values"],
+                    bin_values_bounds=np.asarray(world["bin_values_bounds"]),
+                    det_dynamics_cvar_alpha=1.0)
+    return pmf, tdm_dict
+
+
 def _cfg_for_method(orig_cfg: Config, method: str) -> Config:
     kw = dict(T=orig_cfg.T, dt=orig_cfg.dt,
               num_grid_samples=orig_cfg.num_grid_samples,
@@ -175,18 +187,10 @@ def run_trials(orig_cfg, world, max_steps, grid_shape, mud_margin, res,
                         trial_params["alpha_dyn"] = 1.0
                         trial_params["cvar_alpha"] = alpha
                     if method == "baseline":
-                        # Nominal planner: one-hot PMF at the last bin
-                        # (reference FAQ-1 workflow); maps ignore alpha.
-                        nominal_pmf = np.zeros(
-                            (world["num_pmf_bins"],) + semantic_grid.shape,
-                            np.int8)
-                        nominal_pmf[-1] = 100
-                        nominal_dict = dict(
-                            res=res, xlimits=xlimits, ylimits=ylimits,
-                            bin_values=world["bin_values"],
-                            bin_values_bounds=np.asarray(
-                                world["bin_values_bounds"]),
-                            det_dynamics_cvar_alpha=1.0)
+                        # Nominal planner; maps ignore alpha.
+                        nominal_pmf, nominal_dict = _nominal_pmf_inputs(
+                            world, semantic_grid.shape, res, xlimits,
+                            ylimits)
                         lin_tdm.set_TDM_from_PMF_grid(nominal_pmf,
                                                       nominal_dict)
                         ang_tdm.set_TDM_from_PMF_grid(nominal_pmf,
@@ -320,18 +324,10 @@ def run_trials_device(orig_cfg, world, max_steps, grid_shape, mud_margin,
 
             if det_alpha not in maps_by_det_alpha:
                 # Build per-env map tensors once, then index per trial row.
-                nominal_pmf = None
                 if method == "baseline":
-                    shape = next(iter(env_grids.values())).shape
-                    nominal_pmf = np.zeros(
-                        (world["num_pmf_bins"],) + shape, np.int8)
-                    nominal_pmf[-1] = 100
-                    nominal_dict = dict(
-                        res=res, xlimits=xlimits, ylimits=ylimits,
-                        bin_values=world["bin_values"],
-                        bin_values_bounds=np.asarray(
-                            world["bin_values_bounds"]),
-                        det_dynamics_cvar_alpha=1.0)
+                    nominal_pmf, nominal_dict = _nominal_pmf_inputs(
+                        world, next(iter(env_grids.values())).shape, res,
+                        xlimits, ylimits)
                 env_maps = {}
                 for key_env, sg in env_grids.items():
                     lin_tdm.reset()
