@@ -75,10 +75,31 @@ class _StubState:
         self.__dict__.update(state if isinstance(state, dict) else {})
 
 
+# Reference pickles are untrusted input (they ship with /root/reference);
+# pickle's default find_class would happily resolve arbitrary callables for a
+# crafted __reduce__ payload.  Restrict resolution to the module prefixes a
+# legitimate reference experiment pickle actually contains (DataFrames, numpy
+# arrays, stdlib containers) and stub everything under ``mppi_numba``.
+_SAFE_MODULE_PREFIXES = ("numpy", "pandas", "pyarrow", "collections",
+                         "builtins")
+# Known-dangerous callables inside otherwise-safe modules.
+_DENY = {("builtins", "eval"), ("builtins", "exec"), ("builtins", "compile"),
+         ("builtins", "open"), ("builtins", "__import__"),
+         ("builtins", "getattr"), ("builtins", "setattr"),
+         ("builtins", "breakpoint"), ("numpy", "load"), ("numpy", "save")}
+
+
 class _TolerantUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         if module.split(".")[0] == "mppi_numba":
             return type(name, (_StubState,), {"__module__": module})
+        root = module.split(".")[0]
+        if root not in _SAFE_MODULE_PREFIXES or (root, name) in _DENY \
+                or (module, name) in _DENY:
+            raise pickle.UnpicklingError(
+                "load_reference_experiment: refusing to resolve {}.{} from an "
+                "untrusted reference pickle (allowed module roots: {})".format(
+                    module, name, ", ".join(_SAFE_MODULE_PREFIXES)))
         return super().find_class(module, name)
 
 

@@ -653,6 +653,15 @@ def sample_realization_from_pmf_grid(lin_pmf_grid, ang_pmf_grid, bin_values,
         pmf = np.asarray(pmf_grid, dtype=np.int64)
         B, H, W = pmf.shape
         cum = np.cumsum(pmf.reshape(B, -1), axis=0)        # (B, H*W)
+        # A malformed external grid whose PMF sums below 100 would make the
+        # argmax over an all-False column silently return bin 0 (lowest
+        # traction) for any u above the sum — fail loudly instead.
+        bad = np.flatnonzero(cum[-1] != 100)
+        if bad.size:
+            raise ValueError(
+                "sample_realization_from_pmf_grid: {} cells have PMF sums != "
+                "100 (first offender: flat cell {} sums to {})".format(
+                    bad.size, int(bad[0]), int(cum[-1, bad[0]])))
         u = rng.randint(1, 101, size=cum.shape[1])          # U{1..100}
         idx = np.argmax(u[None, :] <= cum, axis=0)          # first bin covering u
         return bin_values[idx].reshape(H, W)

@@ -20,6 +20,7 @@ FALLBACK = ("mppi_benchmark/"
 
 PAPER = {  # reference paper-run success rates (BASELINE.md, 16,000 trials)
     "noisy_dyn": 0.893, "risk_dyn": 0.736, "nom_dyn_risk_cost": 0.536,
+    "baseline": 0.530,
 }
 
 
@@ -41,19 +42,35 @@ def main():
     w = lines.append
     w("# BENCHMARK RESULTS — full reference-scale sweep on TPU")
     w("")
-    w("{} closed-loop trials (3 methods x 4 vegetation densities x {} envs x"
-      .format(len(df), data["envs_per_density"]))
+    n_methods = len(data["method_list"])
+    n_densities = len(data["grass_density_list"])
+    w("{} closed-loop trials ({} methods x {} vegetation densities x {} envs x"
+      .format(len(df), n_methods, n_densities, data["envs_per_density"]))
     w("{} alphas x {} realizations), device-batched engine, single TPU v5e"
       .format(len(data["alpha_list"]), data["trials_per_env"]))
     w("chip.  Same paired-environment protocol and trial metrics as the")
     w("reference benchmark (reference: benchmark.ipynb[cell 4-6]).")
     w("")
-    ref_equiv = 2421.0 * len(df) / 1800.0
-    w("Wall-clock: **{:.0f} s** (the reference's measured 2,421 s for 1,800"
+    # The reference's measured 2,421 s covers its 3-method 1,800-trial sweep;
+    # extrapolate per-trial within those 3 methods only (the 4th 'baseline'
+    # method is M=1 and far cheaper per trial, so scaling linearly over ALL
+    # trials would overstate the reference-equivalent cost).
+    ref_methods = {"noisy_dyn", "risk_dyn", "nom_dyn_risk_cost"}
+    n_ref_trials = int((df["method"].isin(ref_methods)).sum())
+    ref_equiv = 2421.0 * n_ref_trials / 1800.0
+    w("Wall-clock: **{:.0f} s** (the reference's measured 2,421 s for its"
       .format(data["wall_clock_s"]))
-    w("trials extrapolates to ~{:.0f} s at this scale — {:.1f}x faster),"
-      .format(ref_equiv, ref_equiv / data["wall_clock_s"]))
-    w("including per-sweep subprocess isolation and XLA compiles.")
+    w("3-method 1,800-trial sweep extrapolates to ~{:.0f} s for the {}"
+      .format(ref_equiv, n_ref_trials))
+    w("trials of those same 3 methods here — {:.1f}x faster"
+      .format(ref_equiv / data["wall_clock_s"]), )
+    if n_ref_trials < len(df):
+        w("— with {} additional 'baseline' (M=1, far cheaper per trial)"
+          .format(len(df) - n_ref_trials))
+        w("trials excluded from the extrapolation), including per-sweep")
+        w("subprocess isolation and XLA compiles.")
+    else:
+        w("), including per-sweep subprocess isolation and XLA compiles.")
     w("")
     w("## Success rate by method (mean over all alphas)")
     w("")
@@ -65,10 +82,18 @@ def main():
     w("")
     w("The qualitative ordering of the paper reproduces: the proposed")
     w("CVaR-of-objective method (noisy_dyn) dominates, risk_dyn second,")
-    w("nom_dyn_risk_cost third.  (Absolute values differ by a few points:")
-    w("{} envs x {} realizations here vs the paper's 40 x 5 with a 4th"
-      .format(data["envs_per_density"], data["trials_per_env"]))
-    w("'baseline' method, and a different RNG.)")
+    w("nom_dyn_risk_cost third.")
+    paper_scale = (data["envs_per_density"] == 40
+                   and data["trials_per_env"] == 5 and n_methods == 4)
+    if paper_scale:
+        w("(This run matches the paper's own 40 envs x 5 realizations x 4")
+        w("methods protocol; remaining absolute differences come from RNG.)")
+    else:
+        w("(Absolute values differ by a few points: {} envs x {}"
+          .format(data["envs_per_density"], data["trials_per_env"]))
+        w("realizations x {} methods here vs the paper's 40 x 5 x 4, and a"
+          .format(n_methods))
+        w("different RNG.)")
     w("")
     w("## Success rate by method x alpha")
     w("")

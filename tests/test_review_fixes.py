@@ -117,3 +117,61 @@ def test_default_benchmark_params_nonsquare_and_res():
     np.testing.assert_allclose(p["xgoal"], [(10 - 0.5) * 0.5, (6 - 0.5) * 0.5])
     np.testing.assert_allclose(p["x0"][:2], [0.25, 0.25])
     assert p["goal_tolerance"] == 0.25
+
+
+def test_reference_unpickler_rejects_dangerous_globals(tmp_path):
+    """The tolerant unpickler for untrusted reference pickles must refuse to
+    resolve callables outside the safe module whitelist (ADVICE round 1)."""
+    import pickle
+    from mppi_numba_tpu import checkpoint
+
+    class Evil:
+        def __reduce__(self):
+            return (eval, ("1+1",))
+
+    path = tmp_path / "evil.pickle"
+    with open(path, "wb") as fh:
+        pickle.dump({"logger": Evil()}, fh)
+    with pytest.raises(pickle.UnpicklingError, match="refusing to resolve"):
+        checkpoint.load_reference_experiment(str(path))
+
+    class EvilOs:
+        def __reduce__(self):
+            import os
+            return (os.system, ("true",))
+
+    path2 = tmp_path / "evil_os.pickle"
+    with open(path2, "wb") as fh:
+        pickle.dump(EvilOs(), fh)
+    with pytest.raises(pickle.UnpicklingError, match="refusing to resolve"):
+        checkpoint.load_reference_experiment(str(path2))
+
+
+def test_reference_unpickler_still_loads_legit_payloads(tmp_path):
+    """Whitelisted content (DataFrames, numpy, mppi_numba stubs) loads."""
+    import pickle
+    import pandas as pd
+    from mppi_numba_tpu import checkpoint
+
+    df = pd.DataFrame({"success": [True, False], "time_to_goal": [8.0, np.nan]})
+    path = tmp_path / "ok.pickle"
+    with open(path, "wb") as fh:
+        pickle.dump({"logger": df, "arr": np.arange(3)}, fh)
+    out = checkpoint.load_reference_experiment(str(path))
+    assert out["logger"].equals(df)
+    assert np.array_equal(out["arr"], np.arange(3))
+
+
+def test_sample_realization_rejects_malformed_pmf():
+    """PMF columns that sum below 100 must raise, not silently yield bin 0."""
+    rng = np.random.RandomState(0)
+    pmf = np.zeros((3, 2, 2), np.int8)
+    pmf[0] = 60
+    pmf[1] = 40          # sums to 100 everywhere...
+    good = m.terrain.sample_realization_from_pmf_grid(
+        pmf, pmf, [0.1, 0.5, 0.9], rng)
+    assert good.lin_traction.shape == (2, 2)
+    pmf[1, 0, 0] = 30    # ...except one cell at 90
+    with pytest.raises(ValueError, match="PMF sums"):
+        m.terrain.sample_realization_from_pmf_grid(
+            pmf, pmf, [0.1, 0.5, 0.9], rng)
