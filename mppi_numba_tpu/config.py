@@ -168,3 +168,13 @@ class SolverStatic:
     # run on the XLA rollout path (the fused Pallas kernel implements the
     # default unicycle only).
     model: str = "unicycle"
+    # Reachable-window crop (SURVEY §7 "Hard parts"): rollouts from x0 can
+    # move at most max|vrange| * max_traction * T * dt, so on large maps the
+    # solver samples/packs/rolls only a static (rH, rW) window re-centered on
+    # x0 each solve (dynamic offset — one executable for the whole episode).
+    # None = operate on the full padded map.
+    roi_shape: Tuple[int, int] | None = None
+    # Number of PMF bins of the TDMs this executable serves.  Only consulted
+    # for backend selection (the bin-packed Pallas kernel needs bins <= 16);
+    # 0 = unknown, never selects the bin-packed kernel.
+    num_pmf_bins: int = 0

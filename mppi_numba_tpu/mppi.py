@@ -150,6 +150,8 @@ class MPPIPlanner:
         max_dth = (float(self.params["dt"])
                    * float(np.max(np.abs(self.params["wrange"]))) * ang_ub)
         return SolverStatic(
+            roi_shape=self._roi_shape((H, W)),
+            num_pmf_bins=int(self.lin_tdm.num_pmf_bins),
             mode=mode,
             num_steps=self.num_steps,
             num_control_rollouts=self.num_control_rollouts,
@@ -162,6 +164,32 @@ class MPPIPlanner:
             fast_trig=max_dth <= 0.6,
             model=getattr(self.cfg, "model", "unicycle"),
         )
+
+    def _roi_shape(self, padded_hw):
+        """Static reachable-window size, or None when cropping buys nothing.
+
+        A rollout covers at most ``max|vrange| * traction_ub * num_steps *
+        dt`` meters from x0 (the kernel's per-step displacement is
+        ``dt * lin_traction * v``, reference: mppi_numba/mppi.py:690-694), so
+        a window of that radius plus margin re-centered on x0 each solve sees
+        every cell any rollout can touch.  This is the SURVEY §7 ROI design:
+        sampling, packing, and the rollout gather all shrink from the full
+        padded map (reference regime max_map_dim=(250,250),
+        mppi_numba/config.py:28) to the reachable ball.
+        """
+        H, W = padded_hw
+        p = self.params
+        vmax = float(np.max(np.abs(p["vrange"])))
+        tr_ub = max(1.0, float(self.lin_tdm.bin_values_bounds[1]))
+        reach_m = vmax * tr_ub * self.num_steps * float(p["dt"])
+        cells = int(math.ceil(reach_m / float(self.lin_tdm.res))) + 2
+        r = 2 * cells + 1
+        rH, rW = min(H, r), min(W, r)
+        if rH * rW * 4 >= H * W * 3:
+            # Window nearly the whole map: cropping would only add the
+            # dynamic-slice overhead (and a second executable shape).
+            return None
+        return (rH, rW)
 
     def _map_inputs(self):
         lin, ang = self.lin_tdm, self.ang_tdm
@@ -298,7 +326,8 @@ class MPPIPlanner:
         vis_fn = get_terrain_vis(self._last_static)
         states = vis_fn(self._map_inputs(), self._task_device, self.u_cur,
                         self.u_prev, self._last_aux.noise_vis,
-                        self._last_aux.lin_grids, self._last_aux.ang_grids)
+                        self._last_aux.lin_grids, self._last_aux.ang_grids,
+                        self._last_aux.roi_offset)
         return np.asarray(jax.device_get(states))
 
 

@@ -38,28 +38,72 @@ from .ops.update import update_useq
 from .types import SolveAux
 
 
+def solver_map_shape(static: SolverStatic):
+    """The (H, W) the rollout actually sees: the ROI window if cropping."""
+    return static.roi_shape if static.roi_shape else static.map_shape
+
+
 def resolve_backend(static: SolverStatic) -> str:
     """Pick the rollout implementation for a static signature.
 
-    'auto' uses the fused Pallas kernel on TPU whenever the chunked map
-    tiles fit in VMEM, falling back to the XLA rollout elsewhere (CPU tests,
-    oversized maps).
+    'auto' uses the fused byte-packed Pallas kernel on TPU whenever the
+    chunked map tiles fit in VMEM, falling back to the XLA rollout elsewhere
+    (CPU tests, oversized maps).
     """
     if static.backend != "auto":
-        if static.backend == "pallas" and static.model != "unicycle":
+        if static.backend in ("pallas", "pallas_binned") \
+                and static.model != "unicycle":
             raise ValueError(
-                "backend='pallas' supports only the unicycle model (the "
+                "backend={!r} supports only the unicycle model (the "
                 "fused kernel hard-codes it); model={!r} needs backend "
-                "'xla' or 'auto'".format(static.model))
+                "'xla' or 'auto'".format(static.backend, static.model))
         return static.backend
     if static.mode == "barebone" or static.model != "unicycle":
         return "xla"
-    H, W = static.map_shape
-    if (jax.default_backend() == "tpu"
-            and pallas_rollout_supported(static.num_grid_samples, H * W,
-                                         static.num_steps)):
+    H, W = solver_map_shape(static)
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if pallas_rollout_supported(static.num_grid_samples, H * W,
+                                static.num_steps):
         return "pallas"
     return "xla"
+
+
+def _roi_start(task, full_hw, roi_hw):
+    """Dynamic (row, col) start of the reachable window, clamped in-map.
+
+    The window is centered on the robot cell; because the static window is
+    sized to cover the full reachable ball (|motion| <= max|v| * traction_ub
+    * T * dt) plus margin, clamping at the map edge still covers
+    ball-intersect-map (see MPPIPlanner._roi_shape).
+    """
+    H, W = full_hw
+    rH, rW = roi_hw
+    cx = jnp.floor((task.x0[0] - task.xlim0) / task.res).astype(jnp.int32)
+    cy = jnp.floor((task.x0[1] - task.ylim0) / task.res).astype(jnp.int32)
+    oy = jnp.clip(jnp.clip(cy, 0, H - 1) - rH // 2, 0, H - rH)
+    ox = jnp.clip(jnp.clip(cx, 0, W - 1) - rW // 2, 0, W - rW)
+    return oy, ox
+
+
+def _crop_maps(maps, oy, ox, rH, rW):
+    def sl3(a):
+        return jax.lax.dynamic_slice(a, (jnp.int32(0), oy, ox),
+                                     (a.shape[0], rH, rW))
+
+    def sl2(a):
+        return jax.lax.dynamic_slice(a, (oy, ox), (rH, rW))
+
+    return maps._replace(
+        lin_pmf=sl3(maps.lin_pmf), ang_pmf=sl3(maps.ang_pmf),
+        obstacle=sl2(maps.obstacle), unknown=sl2(maps.unknown),
+        risk=sl2(maps.risk))
+
+
+def _shift_task_limits(task, oy, ox):
+    f32 = jnp.float32
+    return task._replace(xlim0=task.xlim0 + ox.astype(f32) * task.res,
+                         ylim0=task.ylim0 + oy.astype(f32) * task.res)
 
 
 @functools.lru_cache(maxsize=None)
@@ -75,7 +119,7 @@ def get_terrain_solver(static: SolverStatic):
     V = static.num_vis_state_rollouts
     speed_map = static.mode == "speed_map"
     backend = resolve_backend(static)
-    H, W = static.map_shape
+    H, W = solver_map_shape(static)
     step_fn = get_step_fn(static.model)
 
     def rollout(packed, task, u, noise):
@@ -96,14 +140,24 @@ def get_terrain_solver(static: SolverStatic):
 
     def solve_fn(key, maps, task, u0):
         kmap, knoise = jax.random.split(key)
+        if static.roi_shape:
+            oy, ox = _roi_start(task, static.map_shape, static.roi_shape)
+            maps = _crop_maps(maps, oy, ox, H, W)
+            task = _shift_task_limits(task, oy, ox)
+            # Draw the per-cell uniforms at GLOBAL cell indices so the
+            # cropped solve realizes the exact maps the full solve would.
+            window = (static.map_shape, oy, ox)
+        else:
+            oy = ox = jnp.int32(0)
+            window = None
         # The reference seeds the linear and angular TDM RNG streams with the
         # SAME seed (reference: mppi_numba/terrain.py:173-176), so both grids
         # are drawn from identical uniforms — their bin choices are
         # comonotone.  We preserve that coupling by reusing one key.
         lin_grids = sample_traction_grids(kmap, maps.lin_pmf, maps.lin_qbins,
-                                          task.alpha_dyn, M)
+                                          task.alpha_dyn, M, window=window)
         ang_grids = sample_traction_grids(kmap, maps.ang_pmf, maps.ang_qbins,
-                                          task.alpha_dyn, M)
+                                          task.alpha_dyn, M, window=window)
         packed = pack_map_words(lin_grids, ang_grids, maps.obstacle,
                                 maps.unknown,
                                 maps.risk if speed_map else None)
@@ -124,7 +178,8 @@ def get_terrain_solver(static: SolverStatic):
             u, weights = update_useq(costs, noise, u, task.lambda_weight,
                                      task.vrange, task.wrange)
         aux = SolveAux(costs=costs, weights=weights, noise_vis=noise[:V],
-                       lin_grids=lin_grids, ang_grids=ang_grids)
+                       lin_grids=lin_grids, ang_grids=ang_grids,
+                       roi_offset=jnp.stack([oy, ox]))
         return u, aux
 
     return jax.jit(solve_fn, donate_argnums=(3,))
@@ -145,7 +200,15 @@ def get_terrain_vis(static: SolverStatic):
     det = static.mode in ("det_dyn", "speed_map")
     step_fn = get_step_fn(static.model)
 
-    def vis_fn(maps, task, u_cur, u_prev, noise_vis, lin_grids, ang_grids):
+    def vis_fn(maps, task, u_cur, u_prev, noise_vis, lin_grids, ang_grids,
+               roi_offset):
+        if static.roi_shape:
+            # The sampled grids in aux are ROI-shaped; crop the static masks
+            # to the same window the solve used and shift the limits.
+            oy, ox = roi_offset[0], roi_offset[1]
+            rH, rW = static.roi_shape
+            maps = _crop_maps(maps, oy, ox, rH, rW)
+            task = _shift_task_limits(task, oy, ox)
         if det:
             grids_l = jnp.broadcast_to(lin_grids[0], (V,) + lin_grids.shape[1:])
             grids_a = jnp.broadcast_to(ang_grids[0], (V,) + ang_grids.shape[1:])

@@ -57,8 +57,11 @@ class SolveAux(NamedTuple):
     costs: object         # (K,) final rollout costs (incl. coupling)
     weights: object       # (K,) softmax weights
     noise_vis: object     # (V, T, 2) first V noise rows of the last iteration
-    lin_grids: object     # (M, H, W) int8 sampled linear traction grids
-    ang_grids: object     # (M, H, W) int8 sampled angular traction grids
+    lin_grids: object     # (M, rH, rW) int8 sampled linear traction grids
+    ang_grids: object     # (M, rH, rW) int8 sampled angular traction grids
+    # (2,) int32 (row, col) offset of the sampled window within the padded
+    # map — zeros unless SolverStatic.roi_shape cropping was active.
+    roi_offset: object = None
 
 
 class BareboneTask(NamedTuple):
