@@ -230,6 +230,231 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
     return costs_mk[:M].T
 
 
+# ---------------------------------------------------------------------------
+# Bin-packed variant: 4-bit PMF bin indices, 4 cells per int32 word.
+#
+# Mosaic's hardware gather is single-vreg along the gather dimension
+# (measured: scripts/gather_probe.py), so any lookup table larger than 128
+# words per tile row is a chunk walk of gather+select ops — O(map area) per
+# step.  The byte-packed kernel above covers 128 CELLS per chunk; packing
+# 4-bit bin indices instead covers 512 cells per chunk (plus a shared
+# 16-cells/word obstacle/unknown walk at 2048 cells per chunk), cutting the
+# walk ~4x.  Traction decode happens through a per-bin LUT gather (exactly
+# ``lb + ratio * float(qbin)``, bit-identical to the XLA core's decode).
+# This is what keeps the fused kernel engaged at flagship M on realistic
+# maps (the 138x82 forest TDM, reference max_map_dim=(250,250) with ROI
+# cropping) where the byte layout blows the VMEM budget.
+# ---------------------------------------------------------------------------
+
+NIB_CELLS_PER_CHUNK = 4 * LANES     # 512
+MASK_CELLS_PER_CHUNK = 16 * LANES   # 2048
+
+
+def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
+                                    num_pmf_bins=16,
+                                    vmem_budget=VMEM_BUDGET):
+    """The sublane tile size to use, or None when the kernel cannot run."""
+    if not (0 < num_pmf_bins <= 16):
+        return None
+    n_cell_chunks = -(-map_hw // NIB_CELLS_PER_CHUNK)
+    n_mask_chunks = max(8, -(-map_hw // MASK_CELLS_PER_CHUNK))
+    m_pad = _ceil_to(max(num_grid_samples, 8), 8)
+    for m_tile in (MAX_M_TILE, 128, 64, 32):
+        mt = min(m_pad, m_tile)
+        words = (2 * n_cell_chunks * mt * LANES   # nibble chunks, dbl-buffered
+                 + 2 * 2 * num_steps * LANES      # v + w controls
+                 + (n_mask_chunks + 8) * LANES    # shared masks + LUT
+                 + 10 * mt * LANES)               # state planes + out + scratch
+        if words * 4 <= vmem_budget:
+            return mt
+    return None
+
+
+def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
+                           cost_ref, *, T, H, W, n_cell_chunks, n_mask_chunks,
+                           fast_trig):
+    f32 = jnp.float32
+    x0x, x0y, x0th = task_ref[0, 0], task_ref[0, 1], task_ref[0, 2]
+    gx, gy = task_ref[0, 3], task_ref[0, 4]
+    tol = task_ref[0, 5]
+    v_post = task_ref[0, 6]
+    dt = task_ref[0, 7]
+    dist_w = task_ref[0, 8]
+    obs_pen = task_ref[0, 9]
+    unk_pen = task_ref[0, 10]
+    inv_res = task_ref[0, 11]
+    xlim0, ylim0 = task_ref[0, 12], task_ref[0, 13]
+    tol2 = tol * tol
+
+    m_tile = cost_ref.shape[0]
+    shape = (m_tile, LANES)
+    lut_lin = jnp.broadcast_to(lut_ref[0:1, :], shape)
+    lut_ang = jnp.broadcast_to(lut_ref[1:2, :], shape)
+    mask_tiles = [jnp.broadcast_to(mask_ref[c:c + 1, :], shape)
+                  for c in range(n_mask_chunks)]
+
+    def step(t, carry):
+        x, y, hd, cost, dist2, reachedf = carry
+        v_t = v_ref[t, :].reshape(1, LANES)
+        w_t = w_ref[t, :].reshape(1, LANES)
+
+        xi = jnp.clip(jnp.floor((x - xlim0) * inv_res).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.floor((y - ylim0) * inv_res).astype(jnp.int32), 0, H - 1)
+        cell = yi * W + xi
+
+        if n_cell_chunks == 1:
+            words = jnp.take_along_axis(nib_ref[0], cell >> 2, axis=1,
+                                        mode="promise_in_bounds")
+        else:
+            words = jnp.zeros(shape, jnp.int32)
+            for c in range(n_cell_chunks):
+                local = cell - c * NIB_CELLS_PER_CHUNK
+                inb = (local >= 0) & (local < NIB_CELLS_PER_CHUNK)
+                g = jnp.take_along_axis(nib_ref[c], (local >> 2) & (LANES - 1),
+                                        axis=1, mode="promise_in_bounds")
+                words = jnp.where(inb, g, words)
+        byte = words >> ((cell & 3) << 3)
+        lin_tr = jnp.take_along_axis(lut_lin, byte & 0xF, axis=1,
+                                     mode="promise_in_bounds")
+        ang_tr = jnp.take_along_axis(lut_ang, (byte >> 4) & 0xF, axis=1,
+                                     mode="promise_in_bounds")
+
+        if n_mask_chunks == 1 or H * W <= MASK_CELLS_PER_CHUNK:
+            mwords = jnp.take_along_axis(mask_tiles[0], cell >> 4, axis=1,
+                                         mode="promise_in_bounds")
+        else:
+            mwords = jnp.zeros(shape, jnp.int32)
+            for c in range(n_mask_chunks):
+                if c * MASK_CELLS_PER_CHUNK >= H * W:
+                    break
+                local = cell - c * MASK_CELLS_PER_CHUNK
+                inb = (local >= 0) & (local < MASK_CELLS_PER_CHUNK)
+                g = jnp.take_along_axis(mask_tiles[c],
+                                        (local >> 4) & (LANES - 1),
+                                        axis=1, mode="promise_in_bounds")
+                mwords = jnp.where(inb, g, mwords)
+        mcode = mwords >> ((cell & 15) << 1)
+        obs = (mcode & 1).astype(f32)
+        unk = ((mcode >> 1) & 1).astype(f32)
+
+        dth = dt * ang_tr * w_t
+        if fast_trig:
+            # Maclaurin rotation; see the byte-packed kernel's note.
+            cth, sth = hd
+            z2 = dth * dth
+            cd = 1.0 - z2 * (0.5 - z2 * (1.0 / 24.0))
+            sd = dth * (1.0 - z2 * ((1.0 / 6.0) - z2 * (1.0 / 120.0)))
+            hd_new = (cth * cd - sth * sd, sth * cd + cth * sd)
+        else:
+            th = hd
+            cth, sth = jnp.cos(th), jnp.sin(th)
+            hd_new = th + dth
+
+        x_new = x + dt * lin_tr * v_t * cth
+        y_new = y + dt * lin_tr * v_t * sth
+
+        dist2_new = (gx - x_new) ** 2 + (gy - y_new) ** 2
+        step_cost = (dt + dist_w * jnp.sqrt(dist2_new)
+                     + obs * obs_pen + unk * unk_pen)
+
+        active = 1.0 - reachedf
+        cost = cost + active * step_cost
+        dist2 = dist2 + active * (dist2_new - dist2)
+        reachedf = jnp.maximum(reachedf,
+                               active * (dist2_new <= tol2).astype(f32))
+        return x_new, y_new, hd_new, cost, dist2, reachedf
+
+    if fast_trig:
+        hd0 = (jnp.full(shape, jnp.cos(x0th), f32),
+               jnp.full(shape, jnp.sin(x0th), f32))
+    else:
+        hd0 = jnp.full(shape, x0th, f32)
+    init = (jnp.full(shape, x0x, f32), jnp.full(shape, x0y, f32),
+            hd0, jnp.zeros(shape, f32),
+            jnp.full(shape, 1e9, f32), jnp.zeros(shape, f32))
+    x, y, hd, cost, dist2, reachedf = jax.lax.fori_loop(0, T, step, init)
+    cost_ref[:] = cost + (1.0 - reachedf) * jnp.sqrt(dist2) / (v_post + 1e-6)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "T", "fast_trig", "interpret",
+                                    "m_tile"))
+def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
+                                        v_all, w_all, *, H, W, T,
+                                        fast_trig=False, interpret=False,
+                                        m_tile=None):
+    """Fused rollout with 4-bit bin-index maps.
+
+    Args:
+      nib_words: int32 ``(M, ceil(H*W/4))`` from ``pack_bin_nibbles``.
+      mask_words: int32 ``(ceil(H*W/16),)`` from ``pack_mask_nibbles``.
+      lut: float32 ``(8, 128)`` — rows 0/1 hold per-bin linear/angular
+        traction (``build_bin_luts``).
+      task_vec / v_all / w_all: as in ``terrain_rollout_costs_pallas``.
+
+    Returns:
+      float32 ``(K, M)`` rollout costs, identical semantics to
+      ``ops.rollout.terrain_rollout_costs`` with ``speed_map=False``.
+    """
+    M, n_words = nib_words.shape
+    K = v_all.shape[1]
+    assert K % LANES == 0, K
+    n_cell_chunks = -(-n_words // LANES)
+    n_mask_chunks_data = -(-mask_words.shape[0] // LANES)
+    n_mask_chunks = max(8, n_mask_chunks_data)
+    m_pad = _ceil_to(max(M, 8), 8)
+    if m_tile is None:
+        m_tile = pallas_rollout_binned_supported(M, H * W, T) or MAX_M_TILE
+    m_tile = min(m_pad, m_tile)
+    m_pad = _ceil_to(m_pad, m_tile)
+
+    nib = jnp.pad(nib_words, ((0, m_pad - M),
+                              (0, n_cell_chunks * LANES - n_words)))
+    chunks = nib.reshape(m_pad, n_cell_chunks, LANES).transpose(1, 0, 2)
+    masks = jnp.pad(mask_words,
+                    (0, n_mask_chunks * LANES - mask_words.shape[0]))
+    masks = masks.reshape(n_mask_chunks, LANES)
+
+    grid = (m_pad // m_tile, K // LANES)
+    kernel = functools.partial(_rollout_kernel_binned, T=T, H=H, W=W,
+                               n_cell_chunks=n_cell_chunks,
+                               n_mask_chunks=n_mask_chunks,
+                               fast_trig=fast_trig)
+    costs_mk = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((m_pad, K), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((8, LANES), lambda mi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_cell_chunks, m_tile, LANES),
+                         lambda mi, ki: (0, mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mask_chunks, LANES), lambda mi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda mi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, LANES), lambda mi, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, LANES), lambda mi, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, LANES), lambda mi, ki: (mi, ki),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(task_vec, chunks, masks, lut, v_all, w_all)
+    return costs_mk[:M].T
+
+
+def build_bin_luts(task, lin_qbins, ang_qbins):
+    """Per-bin effective traction LUT: exactly the XLA core's decode
+    ``lb + ratio * float(qbin_int8)`` so kernel and oracle agree bitwise."""
+    B = lin_qbins.shape[0]
+    lin = task.lin_lb + task.lin_ratio * lin_qbins.astype(jnp.float32)
+    ang = task.ang_lb + task.ang_ratio * ang_qbins.astype(jnp.float32)
+    lut = jnp.zeros((8, LANES), jnp.float32)
+    return lut.at[0, :B].set(lin).at[1, :B].set(ang)
+
+
 def build_task_vec(task):
     """Pack the TerrainTask scalars the kernel needs into an (8, 128) tile."""
     vec = jnp.stack([

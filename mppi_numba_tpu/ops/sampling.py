@@ -92,6 +92,31 @@ def uniform_window(key, num_samples, full_hw, oy, ox, window_hw):
     return floats.reshape(num_samples, rH * rW)
 
 
+def sample_traction_bins(key, pmf_grid, alpha_dyn, num_samples, window=None):
+    """Sample per-cell PMF *bin indices*: int32 ``(M, H, W)``.
+
+    Same draw semantics as ``sample_traction_grids`` (which is this followed
+    by the bin-value decode); the bin-packed Pallas kernel consumes the raw
+    indices (4 bits/cell) and decodes via an in-kernel LUT.
+    """
+    B, H, W = pmf_grid.shape
+    flat = pmf_grid.reshape(B, H * W)
+    cum = jnp.cumsum(flat.astype(jnp.int32), axis=0)                 # (B,HW)
+    if window is None:
+        u = jax.random.uniform(key, (num_samples, H * W), dtype=jnp.float32)
+    else:
+        full_hw, oy, ox = window
+        u = uniform_window(key, num_samples, full_hw, oy, ox, (H, W))
+    sampled = jnp.ceil(u * (100.0 * alpha_dyn)).astype(jnp.int32)    # (M,HW)
+    bin_idx = jnp.sum(cum[None] < sampled[:, None], axis=1)          # (M,HW)
+    return bin_idx.reshape(num_samples, H, W)
+
+
+def decode_bins(qbin_values, bin_idx):
+    """Bin indices -> quantized int8 traction values (0..100)."""
+    return jnp.take(qbin_values, bin_idx, axis=0)
+
+
 def sample_traction_grids(key, pmf_grid, qbin_values, alpha_dyn, num_samples,
                           window=None):
     """Sample ``num_samples`` int8 traction grids from an int8 PMF grid.
@@ -120,19 +145,11 @@ def sample_traction_grids(key, pmf_grid, qbin_values, alpha_dyn, num_samples,
 
     Returns:
       int8 ``(M, H, W)`` sampled traction grids (values 0..100).
+
+    Note: the map is flattened into the lane (minor) axis internally —
+    trailing (H, W) dims like (11, 11) waste ~90% of every (8, 128) vector
+    register on TPU; (.., HW) tiles densely.  Same math, same outputs.
     """
-    B, H, W = pmf_grid.shape
-    # Flatten the map into the lane (minor) axis: trailing (H, W) dims like
-    # (11, 11) waste ~90% of every (8, 128) vector register on TPU; (.., HW)
-    # tiles densely.  Same math, same outputs.
-    flat = pmf_grid.reshape(B, H * W)
-    cum = jnp.cumsum(flat.astype(jnp.int32), axis=0)                 # (B,HW)
-    if window is None:
-        u = jax.random.uniform(key, (num_samples, H * W), dtype=jnp.float32)
-    else:
-        full_hw, oy, ox = window
-        u = uniform_window(key, num_samples, full_hw, oy, ox, (H, W))
-    sampled = jnp.ceil(u * (100.0 * alpha_dyn)).astype(jnp.int32)    # (M,HW)
-    bin_idx = jnp.sum(cum[None] < sampled[:, None], axis=1)          # (M,HW)
-    return jnp.take(qbin_values, bin_idx, axis=0).reshape(
-        num_samples, H, W)
+    bins = sample_traction_bins(key, pmf_grid, alpha_dyn, num_samples,
+                                window=window)
+    return decode_bins(qbin_values, bins)

@@ -26,14 +26,18 @@ from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 # Sentinel for SolverStatic.cvar_numel: read the traced task.cvar_alpha
 # instead of specializing the executable on a fixed top-k size.
 DYNAMIC_CVAR = -1
-from .ops.packing import pack_map_words
-from .ops.pallas.rollout_kernel import (LANES, build_task_vec,
+from .ops.packing import (pack_bin_nibbles, pack_map_words,
+                          pack_mask_nibbles)
+from .ops.pallas.rollout_kernel import (LANES, build_bin_luts, build_task_vec,
+                                        pallas_rollout_binned_supported,
                                         pallas_rollout_supported,
-                                        terrain_rollout_costs_pallas)
+                                        terrain_rollout_costs_pallas,
+                                        terrain_rollout_costs_pallas_binned)
 from .ops.rollout import (_clipped_controls_tk, barebone_rollout_costs,
                           barebone_vis_states, control_coupling,
                           terrain_rollout_costs, terrain_vis_states)
-from .ops.sampling import sample_noise, sample_traction_grids
+from .ops.sampling import (decode_bins, sample_noise, sample_traction_bins,
+                           sample_traction_grids)
 from .ops.update import update_useq
 from .types import SolveAux
 
@@ -63,8 +67,19 @@ def resolve_backend(static: SolverStatic) -> str:
     H, W = solver_map_shape(static)
     if jax.default_backend() != "tpu":
         return "xla"
-    if pallas_rollout_supported(static.num_grid_samples, H * W,
-                                static.num_steps):
+    byte_ok = pallas_rollout_supported(static.num_grid_samples, H * W,
+                                       static.num_steps)
+    # The byte kernel's chunk walk covers 128 cells per select; keep it only
+    # while the walk is short.  Beyond that the 4-bit bin layout walks 4x
+    # fewer chunks (and fits VMEM at flagship M on realistic maps).
+    if byte_ok and H * W <= 4 * LANES:
+        return "pallas"
+    if (static.mode in ("tdm", "det_dyn")
+            and pallas_rollout_binned_supported(
+                static.num_grid_samples, H * W, static.num_steps,
+                static.num_pmf_bins)):
+        return "pallas_binned"
+    if byte_ok:
         return "pallas"
     return "xla"
 
@@ -122,18 +137,29 @@ def get_terrain_solver(static: SolverStatic):
     H, W = solver_map_shape(static)
     step_fn = get_step_fn(static.model)
 
+    def _padded_controls(u, noise, task):
+        v_all, w_all = _clipped_controls_tk(u, noise, task.vrange,
+                                            task.wrange)
+        k_pad = -(-K // LANES) * LANES
+        if k_pad != K:
+            v_all = jnp.pad(v_all, ((0, 0), (0, k_pad - K)))
+            w_all = jnp.pad(w_all, ((0, 0), (0, k_pad - K)))
+        return v_all, w_all
+
     def rollout(packed, task, u, noise):
         if backend == "pallas":
-            v_all, w_all = _clipped_controls_tk(u, noise, task.vrange,
-                                                task.wrange)
-            k_pad = -(-K // LANES) * LANES
-            if k_pad != K:
-                v_all = jnp.pad(v_all, ((0, 0), (0, k_pad - K)))
-                w_all = jnp.pad(w_all, ((0, 0), (0, k_pad - K)))
+            v_all, w_all = _padded_controls(u, noise, task)
             costs_km = terrain_rollout_costs_pallas(
                 packed, build_task_vec(task), v_all, w_all,
                 H=H, W=W, T=T, speed_map=speed_map,
                 fast_trig=static.fast_trig)
+            return costs_km[:K]
+        if backend == "pallas_binned":
+            nib, maskw, lut = packed
+            v_all, w_all = _padded_controls(u, noise, task)
+            costs_km = terrain_rollout_costs_pallas_binned(
+                nib, maskw, lut, build_task_vec(task), v_all, w_all,
+                H=H, W=W, T=T, fast_trig=static.fast_trig)
             return costs_km[:K]
         return terrain_rollout_costs(packed, task, u, noise,
                                      speed_map=speed_map, step_fn=step_fn)
@@ -154,13 +180,26 @@ def get_terrain_solver(static: SolverStatic):
         # SAME seed (reference: mppi_numba/terrain.py:173-176), so both grids
         # are drawn from identical uniforms — their bin choices are
         # comonotone.  We preserve that coupling by reusing one key.
-        lin_grids = sample_traction_grids(kmap, maps.lin_pmf, maps.lin_qbins,
-                                          task.alpha_dyn, M, window=window)
-        ang_grids = sample_traction_grids(kmap, maps.ang_pmf, maps.ang_qbins,
-                                          task.alpha_dyn, M, window=window)
-        packed = pack_map_words(lin_grids, ang_grids, maps.obstacle,
-                                maps.unknown,
-                                maps.risk if speed_map else None)
+        if backend == "pallas_binned":
+            lin_bins = sample_traction_bins(kmap, maps.lin_pmf,
+                                            task.alpha_dyn, M, window=window)
+            ang_bins = sample_traction_bins(kmap, maps.ang_pmf,
+                                            task.alpha_dyn, M, window=window)
+            lin_grids = decode_bins(maps.lin_qbins, lin_bins)
+            ang_grids = decode_bins(maps.ang_qbins, ang_bins)
+            packed = (pack_bin_nibbles(lin_bins, ang_bins),
+                      pack_mask_nibbles(maps.obstacle, maps.unknown),
+                      build_bin_luts(task, maps.lin_qbins, maps.ang_qbins))
+        else:
+            lin_grids = sample_traction_grids(kmap, maps.lin_pmf,
+                                              maps.lin_qbins, task.alpha_dyn,
+                                              M, window=window)
+            ang_grids = sample_traction_grids(kmap, maps.ang_pmf,
+                                              maps.ang_qbins, task.alpha_dyn,
+                                              M, window=window)
+            packed = pack_map_words(lin_grids, ang_grids, maps.obstacle,
+                                    maps.unknown,
+                                    maps.risk if speed_map else None)
 
         u = u0
         noise = None

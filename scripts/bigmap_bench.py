@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Flagship-shape solve latency on REALISTIC map sizes (real TPU).
+
+Round-1 state: the byte-packed Pallas kernel only fit VMEM up to ~40x40
+maps at M=1024, so the 138x82 forest TDM and the reference's
+max_map_dim=(250,250) regime (reference: mppi_numba/config.py:28) fell back
+to XLA's generic gather.  This script measures the round-2 fixes:
+
+* bin-packed kernel (4 cells/word nibble layout, ops/pallas/rollout_kernel)
+* reachable-window ROI cropping (SolverStatic.roi_shape)
+* the XLA fallback, for the record
+
+Each scenario runs the FULL solve (sampling + packing + rollout + CVaR +
+update) chained on device.  Run on the real TPU, no other TPU process:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/bigmap_bench.py
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mppi_numba_tpu.config import SolverStatic
+from mppi_numba_tpu.solver import get_terrain_solver, resolve_backend
+from mppi_numba_tpu.types import MapInputs, TerrainTask
+
+K, M, T = 1024, 1024, 100
+B = 12                      # forest-TDM bin count; nibble-packable
+RES = 0.5
+VMAX = 2.0
+CVAR_ALPHA = 0.2
+
+
+def build(H, W, roi, backend="auto"):
+    rng = np.random.RandomState(0)
+    raw = rng.randint(0, 100, size=(B, H, W)).astype(float)
+    pmf = (raw / raw.sum(0) * 100).astype(np.int8)
+    pmf[-1] = 100 - pmf[:-1].sum(0)
+    qbins = np.linspace(0, 100, B).astype(np.int8)
+    maps = MapInputs(
+        lin_pmf=jnp.asarray(pmf), ang_pmf=jnp.asarray(pmf),
+        lin_qbins=jnp.asarray(qbins), ang_qbins=jnp.asarray(qbins),
+        obstacle=jnp.zeros((H, W), jnp.int8),
+        unknown=jnp.zeros((H, W), jnp.int8),
+        risk=jnp.zeros((H, W), jnp.int8))
+    x0 = [W * RES / 2, H * RES / 2, 0.785]
+    goal = [W * RES - 2, H * RES - 2]
+    flat = np.concatenate([
+        x0, goal, [2.0, 3.0], [0.0, VMAX], [-3.14, 3.14],
+        [0.5, 0.01, 1.0, 0.1, 1.0, 1e5, 1e2, 1.0, RES, 0.0, 0.0,
+         0.0, 0.01, 0.0, 0.01]]).astype(np.float32)
+    fl = jnp.asarray(flat)
+    task = TerrainTask(fl[0:3], fl[3:5], fl[11], fl[12], fl[13], fl[5:7],
+                       fl[7:9], fl[9:11], fl[14], fl[15], fl[16], fl[17],
+                       fl[18], fl[19], fl[20], fl[21], fl[22], fl[23],
+                       fl[24], fl[25])
+    static = SolverStatic(mode="tdm", num_steps=T, num_control_rollouts=K,
+                          num_grid_samples=M, map_shape=(H, W),
+                          num_obstacles=0,
+                          cvar_numel=math.ceil(M * CVAR_ALPHA), num_opt=1,
+                          num_vis_state_rollouts=1, fast_trig=True,
+                          backend=backend, roi_shape=roi, num_pmf_bins=B)
+    return static, maps, task
+
+
+def roi_for(H, W):
+    """The planner's honest reachable-window size (mppi.py::_roi_shape)."""
+    cells = int(math.ceil(VMAX * T * 0.1 / RES)) + 2
+    r = 2 * cells + 1
+    return (min(H, r), min(W, r))
+
+
+def measure(static, maps, task, n=30):
+    fn = get_terrain_solver(static)
+
+    @jax.jit
+    def chain(key, u0):
+        def body(i, carry):
+            u, key = carry
+            key, sub = jax.random.split(key)
+            u, _ = fn(sub, maps, task, u)
+            return (u, key)
+        u, _ = jax.lax.fori_loop(0, n, body, (u0, key))
+        return u
+
+    u = chain(jax.random.PRNGKey(0), jnp.zeros((T, 2), jnp.float32))
+    np.asarray(u)
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        u = chain(jax.random.PRNGKey(1 + rep), jnp.zeros((T, 2), jnp.float32))
+        np.asarray(u)
+        best = min(best, time.perf_counter() - t0)
+    return 1000.0 * (best - 0.03) / n
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    scenarios = [
+        # (label, H, W, roi, backend, n_chain)
+        ("forest_140x84_binned", 140, 84, None, "auto", 30),
+        ("forest_140x84_binned_roi", 140, 84, roi_for(140, 84), "auto", 30),
+        ("max_250x250_binned_roi", 250, 250, roi_for(250, 250), "auto", 30),
+        ("max_250x250_binned_full", 250, 250, None, "auto", 10),
+        ("forest_140x84_xla", 140, 84, None, "xla", 5),
+    ]
+    for label, H, W, roi, backend, n in scenarios:
+        static, maps, task = build(H, W, roi, backend)
+        be = resolve_backend(static)
+        try:
+            ms = measure(static, maps, task, n)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"scenario": label, "backend": be,
+                              "error": str(e).splitlines()[0][:120]}))
+            continue
+        print(json.dumps({
+            "scenario": label, "backend": be,
+            "roi": list(roi) if roi else None,
+            "ms_per_solve": round(ms, 3),
+            "budget_50ms": ms <= 50.0,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,9 +18,11 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mppi_numba_tpu.ops.packing import pack_map_words
-from mppi_numba_tpu.ops.pallas.rollout_kernel import (build_task_vec,
-                                                      terrain_rollout_costs_pallas)
+from mppi_numba_tpu.ops.packing import (pack_bin_nibbles, pack_map_words,
+                                        pack_mask_nibbles)
+from mppi_numba_tpu.ops.pallas.rollout_kernel import (
+    build_bin_luts, build_task_vec, terrain_rollout_costs_pallas,
+    terrain_rollout_costs_pallas_binned)
 from mppi_numba_tpu.ops.rollout import (_clipped_controls_tk,
                                         terrain_rollout_costs)
 from mppi_numba_tpu.types import TerrainTask
@@ -76,6 +78,38 @@ CASES = [
     ("large-map", 256, 32, 30, 52, 52, False, True),
 ]
 
+BINNED_CASES = [
+    # (name, K, M, T, H, W, B, fast_trig) — the bin-packed kernel on the
+    # realistic shapes it was built for (forest TDM / ROI windows).
+    ("bin-small", 256, 64, 40, 13, 15, 12, False),
+    ("bin-forest", 512, 256, 50, 140, 84, 12, False),
+    ("bin-roi", 1024, 256, 50, 85, 85, 12, False),
+    ("bin-smooth-ft", 512, 64, 50, 85, 85, 1, True),
+]
+
+
+def run_binned_case(name, K, M, T, H, W, B, fast_trig):
+    task, _, _, obs, unk, _, u_cur, noise = build_problem(
+        11, K, M, T, H, W, cliffs=not fast_trig)
+    rng = np.random.RandomState(42)
+    qbins = np.sort(rng.choice(101, size=B, replace=False)).astype(np.int8) \
+        if B > 1 else np.array([80], np.int8)
+    lin_bins = rng.randint(0, B, (M, H, W))
+    ang_bins = rng.randint(0, B, (M, H, W))
+    packed = pack_map_words(jnp.asarray(qbins[lin_bins]),
+                            jnp.asarray(qbins[ang_bins]),
+                            jnp.asarray(obs), jnp.asarray(unk))
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange,
+                                        task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        pack_bin_nibbles(jnp.asarray(lin_bins), jnp.asarray(ang_bins)),
+        pack_mask_nibbles(jnp.asarray(obs), jnp.asarray(unk)),
+        build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins)),
+        build_task_vec(task), v_all, w_all, H=H, W=W, T=T,
+        fast_trig=fast_trig))
+    return ref, got
+
 
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
@@ -101,6 +135,17 @@ def main():
         status = "OK " if rel <= tol else "FAIL"
         print(f"{status} {name:12s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
               f"speed_map={int(speed_map)} fast_trig={int(fast_trig)} "
+              f"max rel err {rel:.2e} (tol {tol:.0e})")
+        assert rel <= tol, name
+    for name, K, M, T, H, W, B, fast_trig in BINNED_CASES:
+        ref, got = run_binned_case(name, K, M, T, H, W, B, fast_trig)
+        scale = np.maximum(np.abs(ref), 1.0)
+        rel = float((np.abs(got - ref) / scale).max())
+        worst = max(worst, rel)
+        tol = 5e-3 if fast_trig else 1e-4
+        status = "OK " if rel <= tol else "FAIL"
+        print(f"{status} {name:12s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
+              f"bins={B} fast_trig={int(fast_trig)} "
               f"max rel err {rel:.2e} (tol {tol:.0e})")
         assert rel <= tol, name
     print(f"all cases pass; worst rel err {worst:.2e}")

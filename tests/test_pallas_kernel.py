@@ -12,9 +12,12 @@ import pytest
 
 import jax.numpy as jnp
 
-from mppi_numba_tpu.ops.packing import pack_map_words
+from mppi_numba_tpu.ops.packing import (pack_bin_nibbles, pack_map_words,
+                                        pack_mask_nibbles)
 from mppi_numba_tpu.ops.pallas.rollout_kernel import (
-    build_task_vec, pallas_rollout_supported, terrain_rollout_costs_pallas)
+    build_bin_luts, build_task_vec, pallas_rollout_binned_supported,
+    pallas_rollout_supported, terrain_rollout_costs_pallas,
+    terrain_rollout_costs_pallas_binned)
 from mppi_numba_tpu.ops.rollout import (_clipped_controls_tk,
                                         terrain_rollout_costs)
 from mppi_numba_tpu.types import TerrainTask
@@ -95,3 +98,122 @@ def test_pallas_kernel_multichunk_map():
         packed, build_task_vec(task), v_all, w_all,
         H=13, W=15, T=15, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+# -- bin-packed kernel -------------------------------------------------------
+
+def build_binned_problem(seed=0, K=128, M=12, T=20, H=9, W=11, B=12):
+    """Bin-index maps + the equivalent byte-packed words for the oracle."""
+    task, _, _, obs, unk, _, u_cur, noise = build_problem(
+        seed=seed, K=K, M=M, T=T, H=H, W=W)
+    rng = np.random.RandomState(seed + 100)
+    qbins = np.sort(rng.choice(101, size=B, replace=False)).astype(np.int8)
+    lin_bins = rng.randint(0, B, (M, H, W))
+    ang_bins = rng.randint(0, B, (M, H, W))
+    lin_vals = qbins[lin_bins]
+    ang_vals = qbins[ang_bins]
+    packed = pack_map_words(jnp.asarray(lin_vals), jnp.asarray(ang_vals),
+                            jnp.asarray(obs), jnp.asarray(unk))
+    nib = pack_bin_nibbles(jnp.asarray(lin_bins), jnp.asarray(ang_bins))
+    maskw = pack_mask_nibbles(jnp.asarray(obs), jnp.asarray(unk))
+    lut = build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins))
+    return task, packed, nib, maskw, lut, u_cur, noise
+
+
+@pytest.mark.parametrize("shape", [(9, 11),     # single nibble chunk
+                                   (40, 40),    # 4 nibble chunks, 1 mask
+                                   (60, 47)])   # 6 nibble chunks, 2 mask
+def test_binned_kernel_matches_xla_rollout(shape):
+    H, W = shape
+    task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+        seed=2, K=128, M=12, T=18, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=18, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_binned_kernel_odd_m_and_small_tile():
+    task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+        seed=4, K=128, M=5, T=10, H=21, W=30)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=21, W=30, T=10, interpret=True, m_tile=8))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_binned_supported_predicate():
+    # Flagship M=1024 on the forest TDM (138x82 padded ~140x84) fits.
+    assert pallas_rollout_binned_supported(1024, 140 * 84, 100, 12)
+    # ...and on a reference-max 250x250 map via a smaller sublane tile.
+    assert pallas_rollout_binned_supported(1024, 250 * 250, 100, 12)
+    # >16 bins cannot nibble-pack.
+    assert pallas_rollout_binned_supported(1024, 140 * 84, 100, 17) is None
+
+
+# -- fast_trig coverage off-hardware (VERDICT round 1 item 7) ---------------
+
+@pytest.mark.parametrize("kernel", ["byte", "binned"])
+def test_fast_trig_kernels_match_xla_loosely(kernel):
+    """The Maclaurin-rotation production path vs exact trig, on a smooth
+    cost surface (no obstacles; penalties amplify 1e-6 perturbations across
+    cell boundaries, see the kernel docstring)."""
+    if kernel == "byte":
+        task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(
+            seed=7, K=128, M=12, T=20, H=13, W=15)
+        obs[:] = 0
+        unk[:] = 0
+        # Uniform traction rows -> no decode cliffs between cells.
+        lin[:] = 70
+        ang[:] = 55
+        packed = pack_map_words(jnp.asarray(lin), jnp.asarray(ang),
+                                jnp.asarray(obs), jnp.asarray(unk))
+        ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+        v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange,
+                                            task.wrange)
+        got = np.asarray(terrain_rollout_costs_pallas(
+            packed, build_task_vec(task), v_all, w_all,
+            H=13, W=15, T=20, fast_trig=True, interpret=True))
+    else:
+        task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+            seed=7, K=128, M=12, T=20, H=13, W=15, B=1)
+        maskw = maskw * 0
+        packed = None
+        ref_packed = pack_map_words(
+            jnp.full((12, 13, 15), 70, jnp.int8),
+            jnp.full((12, 13, 15), 70, jnp.int8),
+            jnp.zeros((13, 15), jnp.int8), jnp.zeros((13, 15), jnp.int8))
+        nib = jnp.zeros_like(nib)
+        lut = jnp.zeros((8, 128), jnp.float32).at[:2, 0].set(0.70)
+        ref = np.asarray(terrain_rollout_costs(ref_packed, task, u_cur,
+                                               noise))
+        v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange,
+                                            task.wrange)
+        got = np.asarray(terrain_rollout_costs_pallas_binned(
+            nib, maskw, lut, build_task_vec(task), v_all, w_all,
+            H=13, W=15, T=20, fast_trig=True, interpret=True))
+    # max |dth| = dt * wmax * ang_tr <= 0.1 * 2.5 * 0.55; degree-4/5
+    # Maclaurin error there is ~1e-7 per step, compounding across T=20.
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-3)
+
+
+def test_maclaurin_rotation_error_bound():
+    """Property test: the kernel's rotation polynomials stay within their
+    truncation bounds over the guard range |dth| <= 0.6 (the planner enables
+    fast_trig only under that bound, mppi.py): degree-4 cos error
+    ~ dth^6/720 <= 6.5e-5, degree-5 sin error ~ dth^7/5040 <= 5.6e-6."""
+    dth = np.linspace(-0.6, 0.6, 20001)
+    z2 = dth * dth
+    cd = 1.0 - z2 * (0.5 - z2 * (1.0 / 24.0))
+    sd = dth * (1.0 - z2 * ((1.0 / 6.0) - z2 * (1.0 / 120.0)))
+    assert np.max(np.abs(cd - np.cos(dth))) < 7e-5
+    assert np.max(np.abs(sd - np.sin(dth))) < 6e-6
+    # At the typical benchmark increment (dt=0.1 * |w|<=pi * traction<=1,
+    # |dth| <= 0.315) the rotation is float32-exact territory.
+    small = np.abs(dth) <= 0.315
+    assert np.max(np.abs(cd[small] - np.cos(dth[small]))) < 2e-6
+    assert np.max(np.abs(sd[small] - np.sin(dth[small]))) < 1e-7
