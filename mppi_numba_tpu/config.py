@@ -60,10 +60,15 @@ class Config:
                  use_det_dynamics=False,
                  use_nom_dynamics_with_speed_map=False,
                  use_costmap=False,
-                 model="unicycle"):         # dynamics model (models registry)
+                 model="unicycle",          # dynamics model (models registry)
+                 dynamic_cvar=False):       # trace cvar_alpha instead of
+                                            # baking ceil(M*alpha) into the
+                                            # executable: one compile serves
+                                            # a whole alpha sweep
         from .models import get_step_fn
         get_step_fn(model)                  # fail fast on unknown names
         self.model = model
+        self.dynamic_cvar = bool(dynamic_cvar)
         self.seed = seed
         self.use_tdm = use_tdm
         self.use_det_dynamics = use_det_dynamics

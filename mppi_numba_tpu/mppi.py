@@ -139,11 +139,17 @@ class MPPIPlanner:
         mode = self._mode()
         M = 1 if mode != "tdm" else self.num_grid_samples
         H, W = self.lin_tdm.get_padded_grid_xy_dim()
-        if mode == "tdm":
+        if mode != "tdm":
+            cvar_numel = 1
+        elif getattr(self.cfg, "dynamic_cvar", False):
+            # Read the traced task.cvar_alpha instead of specializing the
+            # executable: an interactive alpha sweep reuses ONE compile
+            # (same mechanism as the device benchmark engine).
+            from .solver import DYNAMIC_CVAR
+            cvar_numel = DYNAMIC_CVAR
+        else:
             alpha = float(self.params.get("cvar_alpha", 1.0))
             cvar_numel = int(math.ceil(M * alpha))
-        else:
-            cvar_numel = 1
         # Fast rotation updates are accurate when per-step heading increments
         # stay small; mirror the reference's fastmath trig under that guard.
         ang_ub = float(self.ang_tdm.bin_values_bounds[1])
@@ -239,7 +245,8 @@ class MPPIPlanner:
                 lin.padded_xlimits[0], lin.padded_ylimits[0],
                 lin_lb, 0.01 * (lin_ub - lin_lb),
                 ang_lb, 0.01 * (ang_ub - ang_lb),
-            ], dtype=f32),                                           # 11:26
+                p.get("cvar_alpha", 1.0),
+            ], dtype=f32),                                           # 11:27
         ])
         return _unpack_task(jnp.asarray(flat))
 
@@ -340,7 +347,8 @@ def _unpack_task(flat):
         lambda_weight=flat[13], dt=flat[14], dist_weight=flat[15],
         obs_penalty=flat[16], unknown_penalty=flat[17], alpha_dyn=flat[18],
         res=flat[19], xlim0=flat[20], ylim0=flat[21], lin_lb=flat[22],
-        lin_ratio=flat[23], ang_lb=flat[24], ang_ratio=flat[25])
+        lin_ratio=flat[23], ang_lb=flat[24], ang_ratio=flat[25],
+        cvar_alpha=flat[26])
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -30,6 +30,13 @@ def sample_noise(key, u_std, num_rollouts, num_steps, dtype=jnp.float32):
     return eps * u_std.astype(dtype)
 
 
+def sample_noise_slice(key, u_std, num_rollouts, num_steps, k_start, k_count):
+    """Rows ``[k_start, k_start+k_count)`` of ``sample_noise``'s (K, T, 2)
+    draw, computed shard-locally and bit-identically (see ``normal_slice``)."""
+    eps = normal_slice(key, (num_rollouts, num_steps, 2), k_start, k_count)
+    return eps * u_std.astype(eps.dtype)
+
+
 def quantize_bin_values(bin_values, bin_values_bounds):
     """Quantize bin traction values to the int8 0..100 map encoding.
 
@@ -44,69 +51,121 @@ def quantize_bin_values(bin_values, bin_values_bounds):
     return (np.float32(100.0) * (bin_values - lb) / rng).astype(np.int8)
 
 
-def uniform_window(key, num_samples, full_hw, oy, ox, window_hw):
-    """A window of ``jax.random.uniform(key, (M, H*W))``, bit-identical.
+# --------------------------------------------------------------------------
+# Counter-addressable draws.
+#
+# JAX's partitionable threefry generates the bits of element ``i`` of a draw
+# purely from the flat element index (jax/_src/prng.py
+# ``_threefry_random_bits_partitionable``), so any SUB-BLOCK of a larger
+# logical draw can be rebuilt bit-identically by evaluating the bits at the
+# block's GLOBAL flat indices — without materializing the full draw.  This
+# powers two pure optimizations that provably do not change solve outputs:
+#
+# * the ROI map crop (uniform_window): per-cell uniforms keyed by global
+#   cell position, so the cropped solve realizes the full solve's maps;
+# * shard-local sampling (normal_slice / uniform_window's m_offset): each
+#   k-shard draws only ITS noise rows / map-sample rows, bit-identical to
+#   the single-device full draw (tests/test_sharding.py equivalence).
+# --------------------------------------------------------------------------
 
-    The solver's ROI crop samples only the reachable map window, but the
-    draw for cell (y, x) must not depend on where the window sits — else
-    cropping would change the realized maps and the solve output.  JAX's
-    partitionable threefry generates bit ``i`` of a draw purely from the
-    flat element index (jax/_src/prng.py ``_threefry_random_bits_
-    partitionable``), so we rebuild exactly those bits at the window's
-    GLOBAL flat indices: ``idx = m*H*W + y*W + x``.  Result: cropped and
-    full-map sampling realize identical per-cell uniforms, making the ROI a
-    pure optimization (tests/test_roi.py asserts solve-output equality).
 
-    Args:
-      key: threefry PRNG key (raw uint32 (2,) or new-style typed key).
-      num_samples: static M.
-      full_hw: static full padded (H, W) the equivalent full draw covers.
-      oy / ox: dynamic int32 window start row/col.
-      window_hw: static (rH, rW).
-
-    Returns:
-      float32 ``(M, rH*rW)`` uniforms in [0, 1).
-    """
+def _uniform01_at_counters(key, idx):
+    """float32 uniforms in [0, 1) at the given uint32 flat counters —
+    bit-identical to ``jax.random.uniform(key, shape)`` at those flat
+    positions (same mantissa trick as jax/_src/random.py::_uniform)."""
     from jax._src.prng import threefry2x32_p
 
-    H, W = full_hw
-    rH, rW = window_hw
-    total = num_samples * H * W
-    if total >= 2 ** 32:
-        raise NotImplementedError(
-            "uniform_window supports M*H*W < 2**32 (got {})".format(total))
-    u32 = jnp.uint32
-    m = jnp.arange(num_samples, dtype=u32)[:, None, None]
-    dy = jnp.arange(rH, dtype=u32)[None, :, None]
-    dx = jnp.arange(rW, dtype=u32)[None, None, :]
-    idx = (m * u32(H * W) + (oy.astype(u32) + dy) * u32(W)
-           + (ox.astype(u32) + dx))
     if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
         key = jax.random.key_data(key)
     b1, b2 = threefry2x32_p.bind(key[0], key[1], jnp.zeros_like(idx), idx)
     bits = b1 ^ b2
-    # uint32 bits -> [0, 1) float32, the same mantissa trick as
-    # jax/_src/random.py::_uniform.
-    fb = (bits >> u32(9)) | u32(0x3F800000)
-    floats = jax.lax.bitcast_convert_type(fb, jnp.float32) - jnp.float32(1.0)
-    return floats.reshape(num_samples, rH * rW)
+    fb = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(fb, jnp.float32) - jnp.float32(1.0)
 
 
-def sample_traction_bins(key, pmf_grid, alpha_dyn, num_samples, window=None):
+def uniform_window(key, num_samples, full_hw, oy, ox, window_hw,
+                   m_offset=0, full_num_samples=None):
+    """A window of ``jax.random.uniform(key, (full_M, H*W))``, bit-identical.
+
+    Args:
+      key: threefry PRNG key (raw uint32 (2,) or new-style typed key).
+      num_samples: static M rows generated.
+      full_hw: static full padded (H, W) the equivalent full draw covers.
+      oy / ox: dynamic int32 window start row/col.
+      window_hw: static (rH, rW).
+      m_offset: dynamic/static first map-sample row (k-shards generate only
+        their slice of the M axis).
+      full_num_samples: static total M of the equivalent full draw
+        (defaults to ``num_samples``).
+
+    Returns:
+      float32 ``(num_samples, rH*rW)`` uniforms in [0, 1).
+    """
+    H, W = full_hw
+    rH, rW = window_hw
+    full_m = num_samples if full_num_samples is None else full_num_samples
+    total = full_m * H * W
+    if total >= 2 ** 32:
+        raise NotImplementedError(
+            "uniform_window supports M*H*W < 2**32 (got {})".format(total))
+    u32 = jnp.uint32
+    m = (jnp.asarray(m_offset).astype(u32)
+         + jnp.arange(num_samples, dtype=u32))[:, None, None]
+    dy = jnp.arange(rH, dtype=u32)[None, :, None]
+    dx = jnp.arange(rW, dtype=u32)[None, None, :]
+    idx = (m * u32(H * W) + (jnp.asarray(oy).astype(u32) + dy) * u32(W)
+           + (jnp.asarray(ox).astype(u32) + dx))
+    return _uniform01_at_counters(key, idx).reshape(num_samples, rH * rW)
+
+
+def normal_slice(key, full_shape, start, count, dtype=jnp.float32):
+    """``jax.random.normal(key, full_shape)[start:start+count]`` without
+    materializing the full draw, bit-identical.
+
+    Replicates jax/_src/random.py::_normal_real at the slice's global flat
+    counters: uniforms in [-1+ulp, 1) -> ``sqrt(2) * erfinv``.  ``start``
+    may be dynamic (e.g. ``axis_index * k_local`` inside shard_map);
+    ``count`` is static.
+    """
+    assert dtype == jnp.float32, "normal_slice replicates the f32 path only"
+    total = int(np.prod(full_shape))
+    if total >= 2 ** 32:
+        raise NotImplementedError(
+            "normal_slice supports prod(shape) < 2**32 (got {})".format(total))
+    rest = int(np.prod(full_shape[1:]))
+    u32 = jnp.uint32
+    idx = (jnp.asarray(start).astype(u32) * u32(rest)
+           + jnp.arange(count * rest, dtype=u32))
+    floats = _uniform01_at_counters(key, idx)
+    lo = np.nextafter(np.float32(-1.0), np.float32(0.0), dtype=np.float32)
+    hi = np.float32(1.0)
+    u = jnp.maximum(lo, floats * (hi - lo) + lo)
+    out = np.float32(np.sqrt(2)) * jax.lax.erf_inv(u)
+    return out.reshape((count,) + tuple(full_shape[1:]))
+
+
+def sample_traction_bins(key, pmf_grid, alpha_dyn, num_samples, window=None,
+                         m_window=None):
     """Sample per-cell PMF *bin indices*: int32 ``(M, H, W)``.
 
     Same draw semantics as ``sample_traction_grids`` (which is this followed
     by the bin-value decode); the bin-packed Pallas kernel consumes the raw
     indices (4 bits/cell) and decodes via an in-kernel LUT.
+    ``m_window=(full_M, m_offset)`` generates only rows
+    ``[m_offset, m_offset+num_samples)`` of an equivalent ``full_M``-row
+    draw (shard-local map sampling), bit-identically.
     """
     B, H, W = pmf_grid.shape
     flat = pmf_grid.reshape(B, H * W)
     cum = jnp.cumsum(flat.astype(jnp.int32), axis=0)                 # (B,HW)
-    if window is None:
+    if window is None and m_window is None:
         u = jax.random.uniform(key, (num_samples, H * W), dtype=jnp.float32)
     else:
-        full_hw, oy, ox = window
-        u = uniform_window(key, num_samples, full_hw, oy, ox, (H, W))
+        full_hw, oy, ox = (window if window is not None
+                           else ((H, W), jnp.int32(0), jnp.int32(0)))
+        full_m, m0 = m_window if m_window is not None else (num_samples, 0)
+        u = uniform_window(key, num_samples, full_hw, oy, ox, (H, W),
+                           m_offset=m0, full_num_samples=full_m)
     sampled = jnp.ceil(u * (100.0 * alpha_dyn)).astype(jnp.int32)    # (M,HW)
     bin_idx = jnp.sum(cum[None] < sampled[:, None], axis=1)          # (M,HW)
     return bin_idx.reshape(num_samples, H, W)
@@ -118,7 +177,7 @@ def decode_bins(qbin_values, bin_idx):
 
 
 def sample_traction_grids(key, pmf_grid, qbin_values, alpha_dyn, num_samples,
-                          window=None):
+                          window=None, m_window=None):
     """Sample ``num_samples`` int8 traction grids from an int8 PMF grid.
 
     Per cell: draw ``u ~ U[0,1)``, form ``sampled_cum = ceil(u*100*alpha_dyn)``
@@ -151,5 +210,5 @@ def sample_traction_grids(key, pmf_grid, qbin_values, alpha_dyn, num_samples,
     register on TPU; (.., HW) tiles densely.  Same math, same outputs.
     """
     bins = sample_traction_bins(key, pmf_grid, alpha_dyn, num_samples,
-                                window=window)
+                                window=window, m_window=m_window)
     return decode_bins(qbin_values, bins)

@@ -13,11 +13,15 @@ in block shared memory (reference: mppi_numba/mppi.py:1134-1171):
 plus nothing else: the (K_local, M) rollout and the CVaR-over-M reduction
 are shard-local because M is kept on-chip.
 
-Determinism/parity: every k-shard draws the FULL (K, T, 2) noise tensor from
-the same key and uses only its slice, so the sharded solve evaluates exactly
-the same rollouts as the single-device solve (differences are limited to
-float reduction order).  Map sampling uses the same per-scenario key on all
-shards, so all shards roll over identical sampled maps.
+Determinism/parity AND shard-local work: draws are counter-addressable
+(ops/sampling.py), so each k-shard generates only ITS noise rows
+(``sample_noise_slice``) and only ITS 1/n_k slice of the M traction-map
+samples (``m_window``), then all-gathers the int8 grids over ICI — per-shard
+sampling FLOPs scale as 1/n_k while remaining BIT-IDENTICAL to the
+single-device full draw.  The gathered maps are identical on every shard
+(each shard rolls its K-slice over all M maps), so the sharded solve
+evaluates exactly the same rollouts as the single-device solve
+(differences are limited to float reduction order in psum).
 """
 
 from __future__ import annotations
@@ -31,24 +35,35 @@ from jax import shard_map
 
 from ..config import SolverStatic
 from ..models import get_step_fn
-from ..ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
+from ..ops.cvar import (cvar_from_costs, cvar_from_costs_distributed,
+                        cvar_from_costs_dynamic,
+                        cvar_from_costs_dynamic_distributed)
 from ..ops.packing import pack_map_words
 from ..ops.rollout import control_coupling, terrain_rollout_costs
-from ..ops.sampling import sample_noise, sample_traction_grids
+from ..ops.sampling import (sample_noise, sample_noise_slice,
+                            sample_traction_grids)
 from ..ops.update import update_useq
-from .mesh import ROLLOUT_AXIS, SCENARIO_AXIS
+from .mesh import MAP_AXIS, ROLLOUT_AXIS, SCENARIO_AXIS
 
 
 def make_sharded_terrain_solver(static: SolverStatic, mesh,
                                 scenario_axis=SCENARIO_AXIS,
-                                rollout_axis=ROLLOUT_AXIS):
-    """Build a jitted multi-scenario, rollout-sharded solve.
+                                rollout_axis=ROLLOUT_AXIS,
+                                map_axis=MAP_AXIS):
+    """Build a jitted multi-scenario, rollout-(and map-)sharded solve.
 
     Returned callable:
       ``(keys (S, 2) uint32, maps_batch, task_batch, u0 (S, T, 2))
         -> (u_new (S, T, 2), costs (S, K))``
     where ``maps_batch`` / ``task_batch`` are ``MapInputs`` / ``TerrainTask``
     pytrees with a leading scenario axis on every leaf.
+
+    If the mesh carries a ``map_axis`` (see ``mesh.make_mesh`` with
+    ``num_map_shards``), the M map samples are sharded over it: each chip
+    rolls ``(K/n_k, M/n_m)`` and the CVaR reduction runs as a two-phase
+    distributed top-k over ICI (``ops/cvar.py``) — per-chip rollout work,
+    sampled-map memory, AND CVaR sort work all shrink with chip count
+    (SURVEY §7 "CVaR across shards").
     """
     K = static.num_control_rollouts
     T = static.num_steps
@@ -56,17 +71,45 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
     speed_map = static.mode == "speed_map"
     step_fn = get_step_fn(static.model)
     n_k = mesh.shape[rollout_axis]
+    n_m = dict(mesh.shape).get(map_axis, 1)
     assert K % n_k == 0, f"K={K} must divide over {n_k} rollout shards"
+    if M % n_m != 0:
+        # Indivisible M (notably the det modes' M=1): replicate over the
+        # map axis instead of sharding it — correct, just duplicated work.
+        n_m = 1
     k_local = K // n_k
+    m_local = M // n_m
+
+    def sample_grids_local(kmap, maps, task, my_k, my_m):
+        """This shard's (m_local, H, W) grid slices, generated with
+        counter-addressable draws so the UNION over m-shards equals the
+        single-device M-sample batch bit-identically; the n_k rollout
+        shards of one m-index split the generation work and all-gather."""
+        base = my_m * m_local
+        def one(pmf, qbins):
+            if n_k > 1 and m_local % n_k == 0:
+                rows = m_local // n_k
+                part = sample_traction_grids(
+                    kmap, pmf, qbins, task.alpha_dyn, rows,
+                    m_window=(M, base + my_k * rows))
+                return jax.lax.all_gather(part, rollout_axis, axis=0,
+                                          tiled=True)
+            if n_m > 1:
+                return sample_traction_grids(kmap, pmf, qbins,
+                                             task.alpha_dyn, m_local,
+                                             m_window=(M, base))
+            return sample_traction_grids(kmap, pmf, qbins, task.alpha_dyn,
+                                         m_local)
+        return (one(maps.lin_pmf, maps.lin_qbins),
+                one(maps.ang_pmf, maps.ang_qbins))
 
     def solve_one(key, maps, task, u0):
-        """One scenario on one k-shard; collectives bind ``rollout_axis``."""
+        """One scenario on one (k, m)-shard; collectives bind the axes."""
         my_k = jax.lax.axis_index(rollout_axis)
+        my_m = jax.lax.axis_index(map_axis) if n_m > 1 else 0
         kmap, knoise = jax.random.split(key)
-        lin_grids = sample_traction_grids(kmap, maps.lin_pmf, maps.lin_qbins,
-                                          task.alpha_dyn, M)
-        ang_grids = sample_traction_grids(kmap, maps.ang_pmf, maps.ang_qbins,
-                                          task.alpha_dyn, M)
+        lin_grids, ang_grids = sample_grids_local(kmap, maps, task,
+                                                  my_k, my_m)
         packed = pack_map_words(lin_grids, ang_grids, maps.obstacle,
                                 maps.unknown,
                                 maps.risk if speed_map else None)
@@ -74,16 +117,23 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
         u = u0
         costs = None
         for i in range(static.num_opt):
-            # Full draw, local slice: bit-identical rollouts vs single-chip.
-            noise_full = sample_noise(jax.random.fold_in(knoise, i),
-                                      task.u_std, K, T)
-            noise = jax.lax.dynamic_slice_in_dim(noise_full, my_k * k_local,
-                                                 k_local, axis=0)
+            # Shard-local noise rows, bit-identical to the full draw.
+            noise = sample_noise_slice(jax.random.fold_in(knoise, i),
+                                       task.u_std, K, T,
+                                       my_k * k_local, k_local)
             costs_km = terrain_rollout_costs(packed, task, u, noise,
                                              speed_map=speed_map,
                                              step_fn=step_fn)
             if static.cvar_numel == -1:          # DYNAMIC_CVAR sentinel
-                cvar = cvar_from_costs_dynamic(costs_km, task.cvar_alpha)
+                if n_m > 1:
+                    cvar = cvar_from_costs_dynamic_distributed(
+                        costs_km, task.cvar_alpha, map_axis)
+                else:
+                    cvar = cvar_from_costs_dynamic(costs_km, task.cvar_alpha)
+            elif n_m > 1:
+                cvar = cvar_from_costs_distributed(costs_km,
+                                                   static.cvar_numel, M,
+                                                   map_axis)
             else:
                 cvar = cvar_from_costs(costs_km, static.cvar_numel)
             costs = cvar + control_coupling(u, noise, task.u_std,
@@ -91,7 +141,8 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
 
             # Distributed softmax update (reference: mppi.py:1134-1191):
             # same math as the single-device update, reductions bound to the
-            # rollout mesh axis.
+            # rollout mesh axis (m-shards hold identical reduced costs and
+            # compute identical replicated updates).
             u, _ = update_useq(costs, noise, u, task.lambda_weight,
                                task.vrange, task.wrange,
                                axis_name=rollout_axis)
@@ -106,7 +157,7 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
                   P(scenario_axis),            # maps leaves (S, ...)
                   P(scenario_axis),            # task leaves (S, ...)
                   P(scenario_axis)),           # u0 (S, T, 2)
-        out_specs=(P(scenario_axis),                       # u (replicated over k)
+        out_specs=(P(scenario_axis),                       # u (replicated over k, m)
                    P(scenario_axis, rollout_axis)),        # costs (S, K)
         check_vma=False)
 

@@ -49,6 +49,11 @@ MUD_MARGIN = 1
 RES = 1.0
 MAX_STEPS = 150
 OUT_DIR = "mppi_benchmark"
+# The committed reference notebook says u_std=[2, 3] (benchmark.ipynb[cell
+# 5]), but the PAPER pickle's embedded config records u_std=[2, 2] — the
+# notebook's [2,2] line is commented out, i.e. it was edited after the
+# paper run.  --paper-u-std reproduces the paper's recorded value.
+U_STD_ANG = 3.0
 
 
 def build_problem():
@@ -59,12 +64,17 @@ def build_problem():
                    num_vis_state_rollouts=50, max_map_dim=(15, 15), seed=1,
                    use_tdm=True)
     params = m.default_benchmark_params(cfg, GRID_SHAPE, MUD_MARGIN)
+    params["u_std"] = np.array([2.0, U_STD_ANG])
     return world, cfg, params
 
 
+def _ustd_tag():
+    return "" if U_STD_ANG == 3.0 else "_us{:g}".format(U_STD_ANG)
+
+
 def sweep_path(method):
-    return os.path.join(OUT_DIR, "partial_{}_e{}_t{}.pickle".format(
-        method, ENVS_PER_DENSITY, TRIALS_PER_ENV))
+    return os.path.join(OUT_DIR, "partial_{}_e{}_t{}{}.pickle".format(
+        method, ENVS_PER_DENSITY, TRIALS_PER_ENV, _ustd_tag()))
 
 
 def run_one_sweep(method):
@@ -85,7 +95,7 @@ def run_one_sweep(method):
 
 
 def main():
-    global ENVS_PER_DENSITY, TRIALS_PER_ENV
+    global ENVS_PER_DENSITY, TRIALS_PER_ENV, METHOD_LIST, U_STD_ANG
     parser = argparse.ArgumentParser()
     parser.add_argument("--sweep", metavar="METHOD",
                         help="internal: run one method's sweep")
@@ -100,11 +110,17 @@ def main():
                         help="full paper reproduction: 40 envs x 5 "
                              "realizations x 4 methods incl. the nominal "
                              "'baseline' = 16,000 trials")
+    parser.add_argument("--u-std-ang", type=float, default=U_STD_ANG,
+                        help="angular control-noise std (committed notebook:"
+                             " 3.0; the paper pickle's recorded config: 2.0)")
+    parser.add_argument("--paper-u-std", action="store_true",
+                        help="shorthand for --u-std-ang 2.0 (the value the "
+                             "paper run actually used per its pickle)")
     args = parser.parse_args()
 
-    global METHOD_LIST
     ENVS_PER_DENSITY = args.envs
     TRIALS_PER_ENV = args.trials
+    U_STD_ANG = 2.0 if args.paper_u_std else args.u_std_ang
     if args.paper:
         ENVS_PER_DENSITY, TRIALS_PER_ENV = 40, 5
         METHOD_LIST = PAPER_METHOD_LIST
@@ -129,7 +145,8 @@ def main():
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--sweep", meth,
                  "--envs", str(ENVS_PER_DENSITY),
-                 "--trials", str(TRIALS_PER_ENV)],
+                 "--trials", str(TRIALS_PER_ENV),
+                 "--u-std-ang", str(U_STD_ANG)],
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
             if r.returncode != 0:
                 print("sweep {} FAILED (rc={})".format(meth, r.returncode))
@@ -162,9 +179,9 @@ def main():
     print(df[df.success].groupby("method")["time_to_goal"].mean())
 
     fname = os.path.join(OUT_DIR,
-                         "envs_{}_trials_{}_densities_{}_device.pickle".format(
-                             ENVS_PER_DENSITY, TRIALS_PER_ENV,
-                             len(GRASS_DENSITY_LIST)))
+                         "envs_{}_trials_{}_densities_{}_device{}.pickle"
+                         .format(ENVS_PER_DENSITY, TRIALS_PER_ENV,
+                                 len(GRASS_DENSITY_LIST), _ustd_tag()))
     if not ran_any and os.path.exists(fname):
         print("not re-saving {} (would clobber the measured wall clock)"
               .format(fname))

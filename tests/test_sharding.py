@@ -76,6 +76,47 @@ def test_sharded_solve_matches_single_device(mesh_shape):
                                    np.asarray(aux.costs), rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 4), (1, 4, 2), (2, 2, 2),
+                                        (1, 1, 8)])
+@pytest.mark.parametrize("cvar_numel", [3, 8])   # two-phase top-k / psum-mean
+def test_map_sharded_solve_matches_single_device(mesh_shape, cvar_numel):
+    """M sharded over the mesh 'm' axis: per-chip (K/n_k, M/n_m) rollouts
+    with the two-phase distributed CVaR must match the single-device solve
+    (SURVEY §7 'CVaR across shards')."""
+    s, k, m = mesh_shape
+    S = s * 2
+    static, maps, task, u0, keys = build_case(S, cvar_numel=cvar_numel)
+    mesh = make_mesh(s, k, devices=jax.devices()[:8], num_map_shards=m)
+    sharded = get_sharded_terrain_solver(static, mesh)
+    u_multi, costs_multi = sharded(keys, maps, task, u0)
+
+    single = get_terrain_solver(static)
+    for si in range(S):
+        maps_s = jax.tree.map(lambda x: x[si], maps)
+        task_s = jax.tree.map(lambda x: x[si], task)
+        u_single, aux = single(keys[si], maps_s, task_s, u0[si])
+        np.testing.assert_allclose(np.asarray(u_multi)[si],
+                                   np.asarray(u_single), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(costs_multi)[si],
+                                   np.asarray(aux.costs), rtol=2e-4, atol=2e-3)
+
+
+def test_map_sharded_dynamic_cvar_matches_single_device():
+    import dataclasses
+    from mppi_numba_tpu.solver import DYNAMIC_CVAR
+
+    S = 2
+    static, maps, task, u0, keys = build_case(S)
+    static = dataclasses.replace(static, cvar_numel=DYNAMIC_CVAR)
+    task = task._replace(cvar_alpha=jnp.full((S,), 0.4, jnp.float32))
+    mesh = make_mesh(1, 2, devices=jax.devices()[:8], num_map_shards=4)
+    u_sh, _ = get_sharded_terrain_solver(static, mesh)(keys, maps, task, u0)
+    u_ref, _ = jax.vmap(get_terrain_solver(static))(keys, maps, task,
+                                                    jnp.zeros_like(u0))
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_solver_is_cached():
     static, maps, task, u0, keys = build_case(2)
     mesh = make_mesh(1, 8, devices=jax.devices()[:8])
