@@ -75,6 +75,63 @@ def main():
         r = ref["logger"][ref["logger"].method == meth]["success"].mean()
         print("  {:22s} {:.3f} vs {:.3f}".format(meth, o, r))
 
+    # Per-density breakdown (reference: benchmark_vis.ipynb[cell 8-10]
+    # grouping) — localizes WHERE any success / time-to-goal delta between
+    # the engines comes from.
+    densities = sorted(set(ours["grass_density_list"]))
+    fig, axes = plt.subplots(2, len(densities),
+                             figsize=(3.4 * len(densities), 7.2),
+                             sharex=True)
+    for di, dens in enumerate(densities):
+        ax_s, ax_t = axes[0, di], axes[1, di]
+        for meth in shared:
+            for data, style in ((ours, "-o"), (ref, "--s")):
+                df = data["logger"]
+                sel = (df.method == meth) & (df.grass_density == dens)
+                rates = [df[sel & (df.alpha == a)]["success"].mean()
+                         for a in alphas]
+                ttg = [df[sel & (df.alpha == a) & df.success]
+                       ["time_to_goal"].mean() for a in alphas]
+                a_vis = 1.0 if style == "-o" else 0.55
+                ax_s.plot(alphas, rates, style, color=COLORS[meth],
+                          alpha=a_vis, ms=4)
+                ax_t.plot(alphas, ttg, style, color=COLORS[meth],
+                          alpha=a_vis, ms=4)
+        ax_s.set_title("veg. density {}".format(dens))
+        ax_s.set_ylim(0, 1.02)
+        ax_s.grid(alpha=0.3)
+        ax_t.grid(alpha=0.3)
+        ax_t.set_xlabel("CVaR alpha")
+        if di == 0:
+            ax_s.set_ylabel("success rate")
+            ax_t.set_ylabel("time-to-goal on successes (s)")
+    handles = [plt.Line2D([], [], color=COLORS[m], label=LABELS[m])
+               for m in shared]
+    handles += [plt.Line2D([], [], color="gray", ls="-", marker="o",
+                           label="ours (TPU)"),
+                plt.Line2D([], [], color="gray", ls="--", marker="s",
+                           label="reference paper run")]
+    fig.legend(handles=handles, fontsize=8, loc="lower center", ncol=3)
+    fig.suptitle("Per-density success and time-to-goal: TPU engine vs "
+                 "reference paper data")
+    fig.tight_layout(rect=(0, 0.06, 1, 0.97))
+    out2 = "plots/reference_comparison_by_density.png"
+    fig.savefig(out2, dpi=110, bbox_inches="tight")
+    print("saved", out2)
+
+    print("\nMean time-to-goal on successes by density "
+          "(ours vs reference paper run):")
+    for meth in shared:
+        for dens in densities:
+            od = ours["logger"]
+            rd = ref["logger"]
+            o = od[(od.method == meth) & (od.grass_density == dens)
+                   & od.success]["time_to_goal"].mean()
+            r = rd[(rd.method == meth) & (rd.grass_density == dens)
+                   & rd.success]["time_to_goal"].mean()
+            print("  {:22s} density {:.1f}: {:6.2f}s vs {:6.2f}s"
+                  .format(meth, dens, o, r))
+
 
 if __name__ == "__main__":
     main()
