@@ -83,7 +83,10 @@ class Config:
         assert not (num_true == 0 or num_true > 1), (
             "MPPI Config Error: Only one of the use_tdm, use_det_dynamics, "
             "use_nom_dynamics_with_speed_map, use_costmap can be true.")
-        assert not self.use_costmap, "Interface with costmap2d is not yet implemented."
+        # The reference asserts here ("Interface with costmap2d is not yet
+        # implemented", mppi_numba/config.py:47, with the construction path
+        # commented out at terrain.py:698-747).  This engine completes the
+        # path: see TDM.set_TDM_from_costmap.
 
         self.T = T
         self.dt = dt

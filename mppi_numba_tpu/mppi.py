@@ -131,7 +131,10 @@ class MPPIPlanner:
     def _mode(self):
         if self.use_det_dynamics:
             return "det_dyn"
-        if self.use_nom_dynamics_with_speed_map:
+        if self.use_nom_dynamics_with_speed_map or self.use_costmap:
+            # Costmap mode shares the speed-map solve: nominal dynamics, a
+            # risk byte of 100 (full speed) and the lethal/no-info masks
+            # carrying the penalties (see TDM.set_TDM_from_costmap).
             return "speed_map"
         return "tdm"
 

@@ -404,6 +404,58 @@ class TDM:
         self._finalize(risk_traction_map, obstacle_map, unknown_map,
                        num_rows, num_cols, res)
 
+    def set_TDM_from_costmap(self, costmap_dict, obstacle_map=None,
+                             unknown_map=None):
+        """Initialize from an occupancy costmap (the ROS costmap2d-shaped
+        interface).
+
+        Working completion of the reference's abandoned path
+        (reference: mppi_numba/terrain.py:698-747 is fully commented out
+        and its ``solve()`` asserts False for ``use_costmap``,
+        mppi.py:209-211).  Semantics follow that draft: a costmap carries
+        no traction information, so dynamics are NOMINAL (2-bin PMF, all
+        mass at traction 1); cells equal to ``no_info_value`` (default 255)
+        carry no information and become the unknown mask; cells above
+        ``costmap_lethal_threshold`` become the obstacle mask; the risk
+        speed map is 100 (= full speed) elsewhere.  The planner routes
+        costmap mode through the speed-map solve, where decode(100) = 1
+        keeps the time cost nominal and the masks carry the penalties —
+        the behavior the draft's -1/-2 risk codes were reaching for.
+
+        ``costmap_dict`` keys: costmap (uint8 (rows, cols)), res, xlimits,
+        ylimits, costmap_lethal_threshold, optional no_info_value.
+        """
+        assert self.use_costmap, \
+            "set_TDM_from_costmap is invoked when self.use_costmap is not True"
+        costmap = np.asarray(costmap_dict["costmap"])
+        assert costmap.ndim == 2, "costmap must be 2D (rows, cols)"
+        res = costmap_dict["res"]
+        self.res = res
+        self.cell_dimensions = (res, res)
+        self.xlimits = costmap_dict["xlimits"]
+        self.ylimits = costmap_dict["ylimits"]
+        num_rows, num_cols = costmap.shape
+
+        self.num_pmf_bins = 2
+        self.bin_values = np.array([0.0, 1.0], dtype=np.float32)
+        self.bin_values_bounds = np.array([0.0, 1.0], dtype=np.float32)
+        self.pmf_grid = np.zeros((2, num_rows, num_cols), dtype=np.int8)
+        self.pmf_grid[-1] = np.int8(100)
+
+        no_info_value = costmap_dict.get("no_info_value", 255)
+        no_info = costmap == no_info_value
+        lethal = ((costmap > costmap_dict["costmap_lethal_threshold"])
+                  & ~no_info)
+        obstacle = lethal.astype(np.int8)
+        if obstacle_map is not None:
+            obstacle = obstacle | np.asarray(obstacle_map).astype(np.int8)
+        unknown = no_info.astype(np.int8)
+        if unknown_map is not None:
+            unknown = unknown | np.asarray(unknown_map).astype(np.int8)
+
+        risk = np.full((1, num_rows, num_cols), 100, dtype=np.int8)
+        self._finalize(risk, obstacle, unknown, num_rows, num_cols, res)
+
     def _finalize(self, risk_traction_map, obstacle_map, unknown_map,
                   num_rows, num_cols, res):
         """Pad everything, quantize bin values, and push to device."""
