@@ -172,9 +172,10 @@ class SolverStatic:
     # per-step heading increments are small; the planner enables it when
     # dt * max|wrange| * max_ang_traction <= 0.6.
     fast_trig: bool = False
-    # Dynamics model name (see ``models.get_step_fn``).  Non-unicycle models
-    # run on the XLA rollout path (the fused Pallas kernel implements the
-    # default unicycle only).
+    # Dynamics model name (see ``models.get_step_fn``).  Registered step
+    # functions are pure elementwise jnp, so every model runs on the fused
+    # Pallas kernels too (exact-trig path; the fast_trig rotation shortcut
+    # is unicycle-specific).
     model: str = "unicycle"
     # Reachable-window crop (SURVEY §7 "Hard parts"): rollouts from x0 can
     # move at most max|vrange| * max_traction * T * dt, so on large maps the

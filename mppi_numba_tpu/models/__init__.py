@@ -7,9 +7,10 @@ mppi_numba/mppi.py:6-7, 677-694).  Here a model is a pure step function
     step(x, y, th, v, w, lin_traction, ang_traction, dt) -> (x, y, th)
 
 over batched arrays, selected by name via ``SolverStatic.model`` (names keep
-the jit cache key hashable).  The fused Pallas rollout kernel implements the
-default unicycle only; other models run on the XLA rollout path, which the
-solver selects automatically.
+the jit cache key hashable).  Step functions are pure elementwise jnp, so
+they trace directly into the fused Pallas rollout kernels as well as the
+XLA path; only the ``fast_trig`` rotation shortcut is unicycle-specific
+(other models use exact trig inside the kernel).
 """
 
 from __future__ import annotations

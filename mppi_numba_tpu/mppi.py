@@ -170,7 +170,9 @@ class MPPIPlanner:
             cvar_numel=cvar_numel,
             num_opt=int(self.params.get("num_opt", 1)),
             num_vis_state_rollouts=self.num_vis_state_rollouts,
-            fast_trig=max_dth <= 0.6,
+            fast_trig=(max_dth <= 0.6
+                       and getattr(self.cfg, 'model', 'unicycle')
+                       == 'unicycle'),
             model=getattr(self.cfg, "model", "unicycle"),
         )
 

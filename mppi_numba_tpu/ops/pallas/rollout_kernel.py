@@ -64,7 +64,7 @@ def pallas_rollout_supported(num_grid_samples, map_hw, num_steps=128,
 
 
 def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
-                    *, T, H, W, n_chunks, speed_map, fast_trig):
+                    *, T, H, W, n_chunks, speed_map, fast_trig, step_fn):
     f32 = jnp.float32
     # Task scalars live in row 0 of an (8, 128) VMEM tile — 2D so the kernel
     # batches cleanly under vmap (device-resident episode batches).
@@ -116,30 +116,33 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
         obs = ((words >> 16) & 1).astype(f32)
         unk = ((words >> 17) & 1).astype(f32)
 
-        dth = dt * ang_tr * w_t
         if fast_trig:
-            # Per-step heading increments are small (|dth| <= dt*wmax), so a
-            # degree-4/5 Maclaurin rotation replaces two full-range
-            # transcendentals — the TPU analog of the reference's CUDA
-            # fastmath sin/cos (reference: mppi_numba/mppi.py:614 fastmath=True).
-            # Accuracy: cost error vs exact trig is ~1e-6 on smooth terrain
+            # Unicycle-only fast path: per-step heading increments are small
+            # (|dth| <= dt*wmax), so a degree-4/5 Maclaurin rotation replaces
+            # two full-range transcendentals — the TPU analog of the
+            # reference's CUDA fastmath sin/cos (reference:
+            # mppi_numba/mppi.py:614 fastmath=True).  Accuracy: cost error
+            # vs exact trig is ~1e-6 on smooth terrain
             # (scripts/tpu_parity_check.py).  On per-cell maps the usual
             # caveat of ANY trig approximation applies: a 1e-6 trajectory
             # perturbation can relocate individual rollouts across cell /
             # penalty / goal boundaries — statistically neutral (benchmark
-            # success rates unchanged), exactly like the reference's fastmath.
+            # success rates unchanged), exactly like the reference's
+            # fastmath.
+            dth = dt * ang_tr * w_t
             cth, sth = hd
             z2 = dth * dth
             cd = 1.0 - z2 * (0.5 - z2 * (1.0 / 24.0))
             sd = dth * (1.0 - z2 * ((1.0 / 6.0) - z2 * (1.0 / 120.0)))
             hd_new = (cth * cd - sth * sd, sth * cd + cth * sd)
+            x_new = x + dt * lin_tr * v_t * cth
+            y_new = y + dt * lin_tr * v_t * sth
         else:
-            th = hd
-            cth, sth = jnp.cos(th), jnp.sin(th)
-            hd_new = th + dth
-
-        x_new = x + dt * lin_tr * v_t * cth
-        y_new = y + dt * lin_tr * v_t * sth
+            # Generic pluggable dynamics: the registered step fn is pure
+            # elementwise jnp, so it traces directly into the kernel on the
+            # (m_tile, LANES) state tiles.
+            x_new, y_new, hd_new = step_fn(x, y, hd, v_t, w_t, lin_tr,
+                                           ang_tr, dt)
 
         dist2_new = (gx - x_new) ** 2 + (gy - y_new) ** 2
         if speed_map:
@@ -175,10 +178,10 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "T", "speed_map", "fast_trig",
-                                    "interpret", "m_tile"))
+                                    "interpret", "m_tile", "step_fn"))
 def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
                                  *, H, W, T, speed_map=False, fast_trig=False,
-                                 interpret=False, m_tile=None):
+                                 interpret=False, m_tile=None, step_fn=None):
     """Fused rollout on TPU.
 
     Args:
@@ -205,10 +208,15 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
     flat = jnp.pad(flat, ((0, m_pad - M), (0, hw_pad - hw)))
     chunks = flat.reshape(m_pad, n_chunks, LANES).transpose(1, 0, 2)
 
+    if step_fn is None:
+        from ...models import unicycle_step
+        step_fn = unicycle_step
+    assert not (fast_trig and step_fn.__name__ != "unicycle_step"), \
+        "fast_trig hard-codes the unicycle rotation update"
     grid = (m_pad // m_tile, K // LANES)
     kernel = functools.partial(_rollout_kernel, T=T, H=H, W=W,
                                n_chunks=n_chunks, speed_map=speed_map,
-                               fast_trig=fast_trig)
+                               fast_trig=fast_trig, step_fn=step_fn)
     costs_mk = pl.pallas_call(
         kernel,
         grid=grid,
@@ -272,7 +280,7 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
 
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
                            cost_ref, *, T, H, W, n_cell_chunks, n_mask_chunks,
-                           fast_trig):
+                           fast_trig, step_fn):
     f32 = jnp.float32
     x0x, x0y, x0th = task_ref[0, 0], task_ref[0, 1], task_ref[0, 2]
     gx, gy = task_ref[0, 3], task_ref[0, 4]
@@ -337,21 +345,19 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
         obs = (mcode & 1).astype(f32)
         unk = ((mcode >> 1) & 1).astype(f32)
 
-        dth = dt * ang_tr * w_t
         if fast_trig:
-            # Maclaurin rotation; see the byte-packed kernel's note.
+            # Unicycle-only Maclaurin rotation; see the byte-packed kernel.
+            dth = dt * ang_tr * w_t
             cth, sth = hd
             z2 = dth * dth
             cd = 1.0 - z2 * (0.5 - z2 * (1.0 / 24.0))
             sd = dth * (1.0 - z2 * ((1.0 / 6.0) - z2 * (1.0 / 120.0)))
             hd_new = (cth * cd - sth * sd, sth * cd + cth * sd)
+            x_new = x + dt * lin_tr * v_t * cth
+            y_new = y + dt * lin_tr * v_t * sth
         else:
-            th = hd
-            cth, sth = jnp.cos(th), jnp.sin(th)
-            hd_new = th + dth
-
-        x_new = x + dt * lin_tr * v_t * cth
-        y_new = y + dt * lin_tr * v_t * sth
+            x_new, y_new, hd_new = step_fn(x, y, hd, v_t, w_t, lin_tr,
+                                           ang_tr, dt)
 
         dist2_new = (gx - x_new) ** 2 + (gy - y_new) ** 2
         step_cost = (dt + dist_w * jnp.sqrt(dist2_new)
@@ -378,11 +384,11 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "T", "fast_trig", "interpret",
-                                    "m_tile"))
+                                    "m_tile", "step_fn"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, *, H, W, T,
                                         fast_trig=False, interpret=False,
-                                        m_tile=None):
+                                        m_tile=None, step_fn=None):
     """Fused rollout with 4-bit bin-index maps.
 
     Args:
@@ -415,11 +421,16 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                     (0, n_mask_chunks * LANES - mask_words.shape[0]))
     masks = masks.reshape(n_mask_chunks, LANES)
 
+    if step_fn is None:
+        from ...models import unicycle_step
+        step_fn = unicycle_step
+    assert not (fast_trig and step_fn.__name__ != "unicycle_step"), \
+        "fast_trig hard-codes the unicycle rotation update"
     grid = (m_pad // m_tile, K // LANES)
     kernel = functools.partial(_rollout_kernel_binned, T=T, H=H, W=W,
                                n_cell_chunks=n_cell_chunks,
                                n_mask_chunks=n_mask_chunks,
-                               fast_trig=fast_trig)
+                               fast_trig=fast_trig, step_fn=step_fn)
     costs_mk = pl.pallas_call(
         kernel,
         grid=grid,

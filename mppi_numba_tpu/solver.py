@@ -55,14 +55,8 @@ def resolve_backend(static: SolverStatic) -> str:
     (CPU tests, oversized maps).
     """
     if static.backend != "auto":
-        if static.backend in ("pallas", "pallas_binned") \
-                and static.model != "unicycle":
-            raise ValueError(
-                "backend={!r} supports only the unicycle model (the "
-                "fused kernel hard-codes it); model={!r} needs backend "
-                "'xla' or 'auto'".format(static.backend, static.model))
         return static.backend
-    if static.mode == "barebone" or static.model != "unicycle":
+    if static.mode == "barebone":
         return "xla"
     H, W = solver_map_shape(static)
     if jax.default_backend() != "tpu":
@@ -146,20 +140,24 @@ def get_terrain_solver(static: SolverStatic):
             w_all = jnp.pad(w_all, ((0, 0), (0, k_pad - K)))
         return v_all, w_all
 
+    # fast_trig replaces the heading update with a unicycle-specific
+    # rotation polynomial; any other model takes the generic exact path.
+    fast_trig = static.fast_trig and static.model == "unicycle"
+
     def rollout(packed, task, u, noise):
         if backend == "pallas":
             v_all, w_all = _padded_controls(u, noise, task)
             costs_km = terrain_rollout_costs_pallas(
                 packed, build_task_vec(task), v_all, w_all,
                 H=H, W=W, T=T, speed_map=speed_map,
-                fast_trig=static.fast_trig)
+                fast_trig=fast_trig, step_fn=step_fn)
             return costs_km[:K]
         if backend == "pallas_binned":
             nib, maskw, lut = packed
             v_all, w_all = _padded_controls(u, noise, task)
             costs_km = terrain_rollout_costs_pallas_binned(
                 nib, maskw, lut, build_task_vec(task), v_all, w_all,
-                H=H, W=W, T=T, fast_trig=static.fast_trig)
+                H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn)
             return costs_km[:K]
         return terrain_rollout_costs(packed, task, u, noise,
                                      speed_map=speed_map, step_fn=step_fn)

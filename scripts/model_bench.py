@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Model-family and barebone-engine solve latency on the real TPU.
+
+Covers the two round-1 gaps in the perf table (VERDICT item 8):
+* the barebone engine at the reference's own benchmark shape
+  (K=1000, T=50: barebone_mppi_numba.ipynb[cell 6] measured 2.74 ms on an
+  RTX 3070) — our engine's XLA path;
+* the bicycle model at flagship terrain shape, now running INSIDE the
+  fused Pallas kernel (generic step-fn tracing) vs the XLA fallback.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/model_bench.py
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def bench_barebone():
+    from mppi_numba_tpu.barebone import BareboneConfig, BareboneMPPI
+
+    cfg = BareboneConfig(T=5.0, dt=0.1, num_control_rollouts=1000, seed=0)
+    planner = BareboneMPPI(cfg)
+    params = dict(dt=cfg.dt, x0=np.array([0.0, 0.0, 0.0]),
+                  xgoal=np.array([8.0, 8.0]), goal_tolerance=0.3,
+                  lambda_weight=1.0, num_opt=1,
+                  u_std=np.array([1.0, 1.0]), vrange=np.array([0.0, 2.0]),
+                  wrange=np.array([-1.5, 1.5]), dist_weight=10.0,
+                  obs_penalty=1e3,
+                  obstacle_positions=np.array([[3.0, 3.0], [5.5, 6.0]]),
+                  obstacle_radius=np.array([1.0, 1.0]))
+    planner.setup(params)
+
+    from mppi_numba_tpu.solver import get_barebone_solver
+    static = planner._static()
+    fn = get_barebone_solver(static)
+    task = planner._task_device
+    T = static.num_steps
+    N = 50
+
+    @jax.jit
+    def chain(key, u0):
+        def body(i, carry):
+            u, key = carry
+            key, sub = jax.random.split(key)
+            u, _ = fn(sub, task, u)
+            return (u, key)
+        u, _ = jax.lax.fori_loop(0, N, body, (u0, key))
+        return u
+
+    u = chain(jax.random.PRNGKey(0), jnp.zeros((T, 2), jnp.float32))
+    np.asarray(u)
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(jax.random.PRNGKey(1 + rep),
+                         jnp.zeros((T, 2), jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    return 1000.0 * (best - 0.03) / N
+
+
+def bench_terrain_model(model, backend="auto"):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bigmap_bench", os.path.join(os.path.dirname(os.path.abspath(
+            __file__)), "bigmap_bench.py"))
+    bb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bb)
+
+    static, maps, task = bb.build(11, 11, None, backend)
+    static = dataclasses.replace(static, model=model, num_pmf_bins=12,
+                                 fast_trig=(model == "unicycle"))
+    return bb.measure(static, maps, task, 30)
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    ms = bench_barebone()
+    print(json.dumps({"scenario": "barebone_K1000_T50", "ms_per_solve":
+                      round(ms, 3), "reference_rtx3070_ms": 2.74}),
+          flush=True)
+    for model, backend in (("unicycle", "auto"), ("bicycle", "auto"),
+                           ("bicycle", "xla")):
+        from mppi_numba_tpu.solver import resolve_backend
+        try:
+            ms = bench_terrain_model(model, backend)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"scenario": f"{model}_{backend}",
+                              "error": str(e).splitlines()[0][:120]}),
+                  flush=True)
+            continue
+        print(json.dumps({
+            "scenario": "terrain_K1024_M1024_T100_{}".format(model),
+            "backend": backend, "ms_per_solve": round(ms, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,12 +91,25 @@ def measure(n_devices, args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scenarios", type=int, default=8)
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the real accelerator devices.  DEFAULT is "
+                        "the CPU backend with 8 virtual devices: the "
+                        "environment force-sets JAX_PLATFORMS, so the "
+                        "env-var recipe silently lands on the tethered TPU "
+                        "— which must never happen while another TPU "
+                        "process runs (CLAUDE.md); jax.config is the "
+                        "authoritative override.")
     p.add_argument("--k", type=int, default=2048)
     p.add_argument("--m", type=int, default=64)
     p.add_argument("--t", type=int, default=50)
     p.add_argument("--map-dim", type=int, default=15)
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
+    if not args.tpu:
+        import os
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        jax.config.update("jax_platforms", "cpu")
 
     n_avail = len(jax.devices())
     base = None

@@ -201,6 +201,28 @@ def test_fast_trig_kernels_match_xla_loosely(kernel):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.parametrize("kernel", ["byte", "binned"])
+def test_pluggable_model_traces_into_kernels(kernel):
+    """Registered step fns are pure elementwise jnp, so non-unicycle models
+    run inside the fused kernels too (exact-trig path)."""
+    from mppi_numba_tpu.models import bicycle_step
+
+    task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+        seed=9, K=128, M=8, T=15, H=13, W=15)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise,
+                                           step_fn=bicycle_step))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    if kernel == "byte":
+        got = np.asarray(terrain_rollout_costs_pallas(
+            packed, build_task_vec(task), v_all, w_all,
+            H=13, W=15, T=15, interpret=True, step_fn=bicycle_step))
+    else:
+        got = np.asarray(terrain_rollout_costs_pallas_binned(
+            nib, maskw, lut, build_task_vec(task), v_all, w_all,
+            H=13, W=15, T=15, interpret=True, step_fn=bicycle_step))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
 def test_maclaurin_rotation_error_bound():
     """Property test: the kernel's rotation polynomials stay within their
     truncation bounds over the guard range |dth| <= 0.6 (the planner enables
