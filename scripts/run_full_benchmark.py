@@ -142,14 +142,30 @@ def main():
                 continue
             ran_any = True
             print("sweep {}: launching".format(meth), flush=True)
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--sweep", meth,
-                 "--envs", str(ENVS_PER_DENSITY),
-                 "--trials", str(TRIALS_PER_ENV),
-                 "--u-std-ang", str(U_STD_ANG)],
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-            if r.returncode != 0:
-                print("sweep {} FAILED (rc={})".format(meth, r.returncode))
+            # Watchdog: the tethered worker can HANG (child idles forever at
+            # ~zero CPU waiting on a dead RPC), which subprocess isolation
+            # alone cannot detect — kill and retry after a generous budget
+            # scaled to the method's cost and the trial count.
+            per_trial_s = 1.2 if meth == "noisy_dyn" else 0.3
+            budget = max(900, int(per_trial_s * ENVS_PER_DENSITY * 4
+                                  * TRIALS_PER_ENV * len(ALPHA_LIST)) + 600)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--sweep", meth,
+                     "--envs", str(ENVS_PER_DENSITY),
+                     "--trials", str(TRIALS_PER_ENV),
+                     "--u-std-ang", str(U_STD_ANG)],
+                    cwd=os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))),
+                    timeout=budget)
+                rc = r.returncode
+            except subprocess.TimeoutExpired:
+                print("sweep {} WATCHDOG TIMEOUT after {}s".format(
+                    meth, budget))
+                rc = -1
+            if rc != 0:
+                print("sweep {} FAILED (rc={})".format(meth, rc))
                 failed.append(meth)
                 time.sleep(20)      # give a crashed worker time to restart
         pending = failed
