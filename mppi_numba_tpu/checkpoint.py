@@ -76,30 +76,50 @@ class _StubState:
 
 
 # Reference pickles are untrusted input (they ship with /root/reference);
-# pickle's default find_class would happily resolve arbitrary callables for a
-# crafted __reduce__ payload.  Restrict resolution to the module prefixes a
-# legitimate reference experiment pickle actually contains (DataFrames, numpy
-# arrays, stdlib containers) and stub everything under ``mppi_numba``.
-_SAFE_MODULE_PREFIXES = ("numpy", "pandas", "pyarrow", "collections",
-                         "builtins")
-# Known-dangerous callables inside otherwise-safe modules.
-_DENY = {("builtins", "eval"), ("builtins", "exec"), ("builtins", "compile"),
-         ("builtins", "open"), ("builtins", "__import__"),
-         ("builtins", "getattr"), ("builtins", "setattr"),
-         ("builtins", "breakpoint"), ("numpy", "load"), ("numpy", "save")}
+# pickle's default find_class would happily resolve arbitrary callables for
+# a crafted __reduce__ payload, and module-ROOT allowlisting is not enough —
+# numpy/pandas contain exec-capable helpers (e.g.
+# numpy.testing._private.utils.runstring).  Resolution is therefore
+# restricted to the EXACT (module, name) globals a legitimate experiment
+# pickle contains — recorded by instrumenting loads of the reference's own
+# paper pickle and this repo's benchmark pickles — and everything under
+# ``mppi_numba`` is stubbed.
+_ALLOWED_GLOBALS = {
+    ("builtins", "bytearray"), ("builtins", "slice"),
+    ("builtins", "complex"), ("builtins", "frozenset"),
+    ("collections", "OrderedDict"),
+    ("numpy", "dtype"), ("numpy", "ndarray"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("pandas", "DataFrame"), ("pandas", "Index"), ("pandas", "RangeIndex"),
+    ("pandas", "MultiIndex"), ("pandas", "Series"),
+    ("pandas", "StringDtype"), ("pandas", "CategoricalDtype"),
+    ("pandas._libs.internals", "_unpickle_block"),
+    ("pandas.arrays", "ArrowStringArray"),
+    ("pandas.core.frame", "DataFrame"),
+    ("pandas.core.series", "Series"),
+    ("pandas.core.indexes.base", "Index"),
+    ("pandas.core.indexes.base", "_new_Index"),
+    ("pandas.core.indexes.range", "RangeIndex"),
+    ("pandas.core.internals.managers", "BlockManager"),
+    ("pyarrow.lib", "_restore_array"),
+    ("pyarrow.lib", "py_buffer"),
+    ("pyarrow.lib", "type_for_alias"),
+}
 
 
 class _TolerantUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         if module.split(".")[0] == "mppi_numba":
             return type(name, (_StubState,), {"__module__": module})
-        root = module.split(".")[0]
-        if root not in _SAFE_MODULE_PREFIXES or (root, name) in _DENY \
-                or (module, name) in _DENY:
+        if (module, name) not in _ALLOWED_GLOBALS:
             raise pickle.UnpicklingError(
-                "load_reference_experiment: refusing to resolve {}.{} from an "
-                "untrusted reference pickle (allowed module roots: {})".format(
-                    module, name, ", ".join(_SAFE_MODULE_PREFIXES)))
+                "load_reference_experiment: refusing to resolve {}.{} from "
+                "an untrusted reference pickle (not in the explicit "
+                "allowlist of DataFrame/ndarray reconstruction globals)"
+                .format(module, name))
         return super().find_class(module, name)
 
 

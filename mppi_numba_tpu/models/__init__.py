@@ -23,10 +23,31 @@ _REGISTRY = {
     "bicycle": bicycle_step,
 }
 
+# Models whose per-step translation is bounded by ``dt * lin_traction * v``
+# (both built-ins scale translation that way).  The planner's
+# reachable-window (ROI) crop sizes its window from that bound, so it only
+# activates for models in this set.
+_UNICYCLE_DISPLACEMENT_BOUNDED = {"unicycle", "bicycle"}
 
-def register_model(name, step_fn):
-    """Register a custom dynamics step function under ``name``."""
+
+def register_model(name, step_fn, displacement_bounded=False):
+    """Register a custom dynamics step function under ``name``.
+
+    Pass ``displacement_bounded=True`` iff the model's per-step translation
+    never exceeds ``dt * lin_traction * |v|`` — this opts the model into
+    the planner's reachable-window map cropping (otherwise cropping is
+    disabled for it, trading speed for safety on large maps).
+    """
     _REGISTRY[name] = step_fn
+    if displacement_bounded:
+        _UNICYCLE_DISPLACEMENT_BOUNDED.add(name)
+    else:
+        _UNICYCLE_DISPLACEMENT_BOUNDED.discard(name)
+
+
+def has_displacement_bound(name):
+    """Whether the ROI crop's reach bound is valid for this model."""
+    return name in _UNICYCLE_DISPLACEMENT_BOUNDED
 
 
 def get_step_fn(name):
@@ -39,4 +60,5 @@ def get_step_fn(name):
 
 
 __all__ = ["unicycle_step", "clip_controls", "bicycle_step",
-           "make_bicycle_step", "register_model", "get_step_fn"]
+           "make_bicycle_step", "register_model", "get_step_fn",
+           "has_displacement_bound"]

@@ -160,7 +160,8 @@ class MPPIPlanner:
                    * float(np.max(np.abs(self.params["wrange"]))) * ang_ub)
         return SolverStatic(
             roi_shape=self._roi_shape((H, W)),
-            num_pmf_bins=int(self.lin_tdm.num_pmf_bins),
+            num_pmf_bins=int(max(self.lin_tdm.num_pmf_bins,
+                                 self.ang_tdm.num_pmf_bins)),
             mode=mode,
             num_steps=self.num_steps,
             num_control_rollouts=self.num_control_rollouts,
@@ -188,6 +189,13 @@ class MPPIPlanner:
         padded map (reference regime max_map_dim=(250,250),
         mppi_numba/config.py:28) to the reachable ball.
         """
+        from .models import has_displacement_bound
+        if not has_displacement_bound(getattr(self.cfg, "model", "unicycle")):
+            # The reach bound below assumes per-step translation
+            # <= dt * lin_traction * |v|; a custom model without that
+            # declared bound could leave the window, silently clamping its
+            # map lookups — disable cropping instead.
+            return None
         H, W = padded_hw
         p = self.params
         vmax = float(np.max(np.abs(p["vrange"])))

@@ -458,12 +458,13 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
 
 def build_bin_luts(task, lin_qbins, ang_qbins):
     """Per-bin effective traction LUT: exactly the XLA core's decode
-    ``lb + ratio * float(qbin_int8)`` so kernel and oracle agree bitwise."""
-    B = lin_qbins.shape[0]
+    ``lb + ratio * float(qbin_int8)`` so kernel and oracle agree bitwise.
+    The lin and ang tables may have different bin counts."""
     lin = task.lin_lb + task.lin_ratio * lin_qbins.astype(jnp.float32)
     ang = task.ang_lb + task.ang_ratio * ang_qbins.astype(jnp.float32)
     lut = jnp.zeros((8, LANES), jnp.float32)
-    return lut.at[0, :B].set(lin).at[1, :B].set(ang)
+    return (lut.at[0, :lin_qbins.shape[0]].set(lin)
+               .at[1, :ang_qbins.shape[0]].set(ang))
 
 
 def build_task_vec(task):

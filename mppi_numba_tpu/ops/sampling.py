@@ -72,11 +72,33 @@ def quantize_bin_values(bin_values, bin_values_bounds):
 def _uniform01_at_counters(key, idx):
     """float32 uniforms in [0, 1) at the given uint32 flat counters —
     bit-identical to ``jax.random.uniform(key, shape)`` at those flat
-    positions (same mantissa trick as jax/_src/random.py::_uniform)."""
+    positions (same mantissa trick as jax/_src/random.py::_uniform).
+
+    Only valid for PARTITIONABLE threefry2x32 (JAX's default): with
+    ``jax_threefry_partitionable`` disabled, or a non-threefry key impl
+    (e.g. rbg), the rebuilt bits would NOT match ``jax.random`` draws and
+    the ROI/shard bit-identity contracts would silently break — so both
+    are checked here.
+    """
     from jax._src.prng import threefry2x32_p
 
+    if not jax.config.jax_threefry_partitionable:
+        raise RuntimeError(
+            "counter-addressable draws require jax_threefry_partitionable "
+            "(JAX's default); it is disabled in this process, which would "
+            "silently break the ROI-crop / shard-local bit-identity "
+            "guarantees")
     if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        impl = str(jax.random.key_impl(key))
+        if "threefry" not in impl:
+            raise RuntimeError(
+                "counter-addressable draws require threefry2x32 keys, got "
+                "impl {!r}".format(impl))
         key = jax.random.key_data(key)
+    if key.shape != (2,):
+        raise RuntimeError(
+            "counter-addressable draws require a threefry2x32 key of 2 "
+            "uint32 words, got shape {}".format(key.shape))
     b1, b2 = threefry2x32_p.bind(key[0], key[1], jnp.zeros_like(idx), idx)
     bits = b1 ^ b2
     fb = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)

@@ -183,6 +183,10 @@ def get_terrain_solver(static: SolverStatic):
                                             task.alpha_dyn, M, window=window)
             ang_bins = sample_traction_bins(kmap, maps.ang_pmf,
                                             task.alpha_dyn, M, window=window)
+            # Decoded int8 value grids feed SolveAux / the vis path only
+            # (the kernel reads nibbles + LUT).  Cost at flagship-forest
+            # scale: ~15 MB of elementwise int8 writes ~= 0.04 ms against a
+            # 10.9 ms solve — kept for the sample_grid_batch API parity.
             lin_grids = decode_bins(maps.lin_qbins, lin_bins)
             ang_grids = decode_bins(maps.ang_qbins, ang_bins)
             packed = (pack_bin_nibbles(lin_bins, ang_bins),

@@ -20,7 +20,6 @@ import json
 import math
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -79,27 +78,17 @@ def roi_for(H, W):
 
 
 def measure(static, maps, task, n=30):
+    """Best-of-3 chained on-device solves via the shared timing helper
+    (mppi_numba_tpu/profiling.py; CLAUDE.md's timing rule)."""
+    from mppi_numba_tpu.profiling import chained_solve_time
+
     fn = get_terrain_solver(static)
-
-    @jax.jit
-    def chain(key, u0):
-        def body(i, carry):
-            u, key = carry
-            key, sub = jax.random.split(key)
-            u, _ = fn(sub, maps, task, u)
-            return (u, key)
-        u, _ = jax.lax.fori_loop(0, n, body, (u0, key))
-        return u
-
-    u = chain(jax.random.PRNGKey(0), jnp.zeros((T, 2), jnp.float32))
-    np.asarray(u)
-    best = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        u = chain(jax.random.PRNGKey(1 + rep), jnp.zeros((T, 2), jnp.float32))
-        np.asarray(u)
-        best = min(best, time.perf_counter() - t0)
-    return 1000.0 * (best - 0.03) / n
+    u0 = jnp.zeros((T, 2), jnp.float32)
+    best = min(chained_solve_time(fn, maps, task, u0, num_iters=n,
+                                  key=jax.random.PRNGKey(1 + rep),
+                                  fetch_rtt_s=0.03)
+               for rep in range(3))
+    return 1000.0 * best
 
 
 def main():

@@ -81,7 +81,7 @@ def main():
     densities = sorted(set(ours["grass_density_list"]))
     fig, axes = plt.subplots(2, len(densities),
                              figsize=(3.4 * len(densities), 7.2),
-                             sharex=True)
+                             sharex=True, squeeze=False)
     for di, dens in enumerate(densities):
         ax_s, ax_t = axes[0, di], axes[1, di]
         for meth in shared:

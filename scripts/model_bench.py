@@ -15,7 +15,6 @@ import dataclasses
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,43 +38,29 @@ def bench_barebone():
                   obstacle_radius=np.array([1.0, 1.0]))
     planner.setup(params)
 
+    from mppi_numba_tpu.profiling import chained_solve_time
     from mppi_numba_tpu.solver import get_barebone_solver
     static = planner._static()
     fn = get_barebone_solver(static)
     task = planner._task_device
     T = static.num_steps
-    N = 50
 
-    @jax.jit
-    def chain(key, u0):
-        def body(i, carry):
-            u, key = carry
-            key, sub = jax.random.split(key)
-            u, _ = fn(sub, task, u)
-            return (u, key)
-        u, _ = jax.lax.fori_loop(0, N, body, (u0, key))
-        return u
+    def as_terrain_sig(key, maps, task, u):
+        del maps
+        return fn(key, task, u)
 
-    u = chain(jax.random.PRNGKey(0), jnp.zeros((T, 2), jnp.float32))
-    np.asarray(u)
-    best = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        np.asarray(chain(jax.random.PRNGKey(1 + rep),
-                         jnp.zeros((T, 2), jnp.float32)))
-        best = min(best, time.perf_counter() - t0)
-    return 1000.0 * (best - 0.03) / N
+    u0 = jnp.zeros((T, 2), jnp.float32)
+    best = min(chained_solve_time(as_terrain_sig, None, task, u0,
+                                  num_iters=50,
+                                  key=jax.random.PRNGKey(1 + rep),
+                                  fetch_rtt_s=0.03)
+               for rep in range(3))
+    return 1000.0 * best
 
 
 def bench_terrain_model(model, backend="auto"):
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "bigmap_bench", os.path.join(os.path.dirname(os.path.abspath(
-            __file__)), "bigmap_bench.py"))
-    bb = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bb)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bigmap_bench as bb
 
     static, maps, task = bb.build(11, 11, None, backend)
     static = dataclasses.replace(static, model=model, num_pmf_bins=12,

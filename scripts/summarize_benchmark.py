@@ -4,6 +4,7 @@
 Usage: python scripts/summarize_benchmark.py [pickle_path]
 """
 
+import glob
 import os
 import pickle
 import sys
@@ -13,10 +14,15 @@ import numpy as np
 # The experiment pickle holds a Config object from the package.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT = ("mppi_benchmark/"
-           "envs_40_trials_5_densities_4_device.pickle")
-FALLBACK = ("mppi_benchmark/"
-            "envs_10_trials_3_densities_4_device.pickle")
+
+def newest_pickle():
+    """The most recently written full-run pickle (any scale / u_std tag) —
+    filename-pattern hardcoding silently published stale results after
+    tagged runs (e.g. the --paper-u-std *_us2 pickles)."""
+    cands = glob.glob("mppi_benchmark/envs_*_device*.pickle")
+    if not cands:
+        raise SystemExit("no benchmark pickles under mppi_benchmark/")
+    return max(cands, key=os.path.getmtime)
 
 PAPER = {  # reference paper-run success rates (BASELINE.md, 16,000 trials)
     "noisy_dyn": 0.893, "risk_dyn": 0.736, "nom_dyn_risk_cost": 0.536,
@@ -25,10 +31,8 @@ PAPER = {  # reference paper-run success rates (BASELINE.md, 16,000 trials)
 
 
 def main():
-    if len(sys.argv) > 1:
-        path = sys.argv[1]
-    else:
-        path = DEFAULT if os.path.exists(DEFAULT) else FALLBACK
+    path = sys.argv[1] if len(sys.argv) > 1 else newest_pickle()
+    print("summarizing:", path)
     with open(path, "rb") as fh:
         data = pickle.load(fh)
     df = data["logger"]
@@ -48,7 +52,13 @@ def main():
       .format(len(df), n_methods, n_densities, data["envs_per_density"]))
     w("{} alphas x {} realizations), device-batched engine, single TPU v5e"
       .format(len(data["alpha_list"]), data["trials_per_env"]))
-    w("chip.  Same paired-environment protocol and trial metrics as the")
+    u_std = np.asarray(data["default_mppi_params"]["u_std"])
+    w("chip, u_std={} ({}).  Same paired-environment protocol and trial"
+      .format([float(x) for x in u_std],
+              "the paper pickle's recorded value" if u_std[1] == 2.0
+              else "the committed notebook's value; the paper run used"
+                   " [2, 2]"))
+    w("metrics as the")
     w("reference benchmark (reference: benchmark.ipynb[cell 4-6]).")
     w("")
     # The reference's measured 2,421 s covers its 3-method 1,800-trial sweep;
@@ -136,8 +146,9 @@ def main():
     w("")
     # Companion section: the exact reference-scale configuration, derived
     # from its own pickle (only when summarizing a different, larger run).
-    if path != FALLBACK and os.path.exists(FALLBACK):
-        with open(FALLBACK, "rb") as fh:
+    small_run = "mppi_benchmark/envs_10_trials_3_densities_4_device.pickle"
+    if path != small_run and os.path.exists(small_run):
+        with open(small_run, "rb") as fh:
             small = pickle.load(fh)
         sdf = small["logger"]
         srates = sdf.groupby("method")["success"].mean()

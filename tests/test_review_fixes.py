@@ -147,6 +147,41 @@ def test_reference_unpickler_rejects_dangerous_globals(tmp_path):
         checkpoint.load_reference_experiment(str(path2))
 
 
+def test_reference_unpickler_rejects_execcapable_library_globals(tmp_path):
+    """Module-root allowlisting was bypassable via exec-capable helpers
+    living INSIDE numpy/pandas (round-2 review finding, live repro with
+    numpy.testing._private.utils.runstring); only the explicit
+    (module, name) allowlist blocks this class."""
+    import pickle
+    import pickletools  # noqa: F401  (documentation of the payload form)
+    from mppi_numba_tpu import checkpoint
+
+    # Hand-craft the opcode stream: GLOBAL numpy.testing._private.utils
+    # runstring; REDUCE with ("import os\nos.system('...')", {}).
+    payload = (b"cnumpy.testing._private.utils\nrunstring\n"
+               b"(Vimport os\np0\n(dtp1\nR.")
+    path = tmp_path / "bypass.pickle"
+    path.write_bytes(payload)
+    with pytest.raises(pickle.UnpicklingError, match="refusing to resolve"):
+        checkpoint.load_reference_experiment(str(path))
+
+
+def test_reference_unpickler_loads_the_real_reference_pickle():
+    """The explicit allowlist must still admit the reference's own committed
+    paper pickle end to end."""
+    import os
+    from mppi_numba_tpu import checkpoint
+
+    ref = ("/root/reference/mppi_benchmark/"
+           "envs_40_trials_5_densities_4_date_20220907-2234.pickle")
+    if not os.path.exists(ref):
+        pytest.skip("reference pickle not available")
+    out = checkpoint.load_reference_experiment(ref)
+    assert len(out["logger"]) == 16000
+    assert set(out["method_list"]) == {"noisy_dyn", "baseline", "risk_dyn",
+                                       "nom_dyn_risk_cost"}
+
+
 def test_reference_unpickler_still_loads_legit_payloads(tmp_path):
     """Whitelisted content (DataFrames, numpy, mppi_numba stubs) loads."""
     import pickle

@@ -115,6 +115,38 @@ def test_roi_crop_matches_full_map_with_stochastic_pmf():
                                   g_full[:, oy:oy + rH, ox:ox + rW])
 
 
+def test_roi_disabled_for_models_without_displacement_bound():
+    """A custom model without a declared translation bound could leave the
+    reachable window; the planner must not crop for it (round-2 review)."""
+    from mppi_numba_tpu.models import (register_model, has_displacement_bound,
+                                       unicycle_step, _REGISTRY)
+
+    def hover_step(x, y, th, v, w, lin_tr, ang_tr, dt):
+        return x + dt * 2.0 * v, y, th          # ignores traction entirely
+
+    register_model("hover-test", hover_step)
+    try:
+        assert not has_displacement_bound("hover-test")
+        p = build_planner(True, "tdm")
+        p.cfg.model = "hover-test"
+        assert p._static().roi_shape is None
+        p.cfg.model = "unicycle"
+        assert p._static().roi_shape is not None
+    finally:
+        _REGISTRY.pop("hover-test", None)
+
+
+def test_counter_draws_reject_foreign_prng():
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from mppi_numba_tpu.ops.sampling import uniform_window
+
+    bad = jnp.zeros((4,), jnp.uint32)   # rbg-shaped raw key
+    with _pytest.raises(RuntimeError, match="threefry2x32 key"):
+        uniform_window(bad, 2, (4, 4), jnp.int32(0), jnp.int32(0), (4, 4))
+
+
 def test_roi_offset_clamps_at_map_corner():
     p = build_planner(True, "tdm", x0=np.array([0.75, 0.75, 0.0]))
     u = p.solve()
