@@ -54,6 +54,7 @@ OUT_DIR = "mppi_benchmark"
 # notebook's [2,2] line is commented out, i.e. it was edited after the
 # paper run.  --paper-u-std reproduces the paper's recorded value.
 U_STD_ANG = 3.0
+DIST_WEIGHT = 1.0
 
 
 def build_problem():
@@ -65,11 +66,16 @@ def build_problem():
                    use_tdm=True)
     params = m.default_benchmark_params(cfg, GRID_SHAPE, MUD_MARGIN)
     params["u_std"] = np.array([2.0, U_STD_ANG])
+    if DIST_WEIGHT != 1.0:
+        params["dist_weight"] = DIST_WEIGHT
     return world, cfg, params
 
 
 def _ustd_tag():
-    return "" if U_STD_ANG == 3.0 else "_us{:g}".format(U_STD_ANG)
+    tag = "" if U_STD_ANG == 3.0 else "_us{:g}".format(U_STD_ANG)
+    if DIST_WEIGHT != 1.0:
+        tag += "_dw{:g}".format(DIST_WEIGHT)
+    return tag
 
 
 def sweep_path(method):
@@ -95,7 +101,8 @@ def run_one_sweep(method):
 
 
 def main():
-    global ENVS_PER_DENSITY, TRIALS_PER_ENV, METHOD_LIST, U_STD_ANG
+    global ENVS_PER_DENSITY, TRIALS_PER_ENV, METHOD_LIST, U_STD_ANG, \
+        DIST_WEIGHT
     parser = argparse.ArgumentParser()
     parser.add_argument("--sweep", metavar="METHOD",
                         help="internal: run one method's sweep")
@@ -116,14 +123,24 @@ def main():
     parser.add_argument("--paper-u-std", action="store_true",
                         help="shorthand for --u-std-ang 2.0 (the value the "
                              "paper run actually used per its pickle)")
+    parser.add_argument("--dist-weight", type=float, default=DIST_WEIGHT,
+                        help="stage-cost distance weight (sensitivity "
+                             "probes; the paper pickle does not record it, "
+                             "so the paper may have used a different "
+                             "code-default than today's 1.0)")
+    parser.add_argument("--methods", default=None,
+                        help="comma list restricting the sweep methods")
     args = parser.parse_args()
 
     ENVS_PER_DENSITY = args.envs
     TRIALS_PER_ENV = args.trials
     U_STD_ANG = 2.0 if args.paper_u_std else args.u_std_ang
+    DIST_WEIGHT = args.dist_weight
     if args.paper:
         ENVS_PER_DENSITY, TRIALS_PER_ENV = 40, 5
         METHOD_LIST = PAPER_METHOD_LIST
+    if args.methods:
+        METHOD_LIST = args.methods.split(",")
 
     if args.sweep:
         run_one_sweep(args.sweep)
@@ -158,7 +175,8 @@ def main():
                      "--sweep", meth,
                      "--envs", str(ENVS_PER_DENSITY),
                      "--trials", str(TRIALS_PER_ENV),
-                     "--u-std-ang", str(U_STD_ANG)],
+                     "--u-std-ang", str(U_STD_ANG),
+                 "--dist-weight", str(DIST_WEIGHT)],
                     cwd=os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))),
                     timeout=budget)
