@@ -256,6 +256,11 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
 
 NIB_CELLS_PER_CHUNK = 4 * LANES     # 512
 MASK_CELLS_PER_CHUNK = 16 * LANES   # 2048
+# Walk strategy threshold: a statically unrolled chunk walk pipelines better
+# (measured: 10.7 vs 12.5 ms at 13 chunks on the 85x84 ROI flagship), while
+# the reachability-banded dynamic loop wins once the walk is long (measured:
+# 78.9 -> 51.6 ms at 123 chunks on the full 250x250 map).
+MAX_UNROLLED_CHUNKS = 16
 
 
 def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
@@ -279,8 +284,8 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
 
 
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
-                           cost_ref, *, T, H, W, n_cell_chunks, n_mask_chunks,
-                           fast_trig, step_fn):
+                           cost_ref, *, T, H, W, n_cell_chunks,
+                           n_mask_chunks, fast_trig, step_fn):
     f32 = jnp.float32
     x0x, x0y, x0th = task_ref[0, 0], task_ref[0, 1], task_ref[0, 2]
     gx, gy = task_ref[0, 3], task_ref[0, 4]
@@ -292,14 +297,47 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
     unk_pen = task_ref[0, 10]
     inv_res = task_ref[0, 11]
     xlim0, ylim0 = task_ref[0, 12], task_ref[0, 13]
+    max_cells_per_step = task_ref[0, 18]
     tol2 = tol * tol
 
     m_tile = cost_ref.shape[0]
     shape = (m_tile, LANES)
     lut_lin = jnp.broadcast_to(lut_ref[0:1, :], shape)
     lut_ang = jnp.broadcast_to(lut_ref[1:2, :], shape)
-    mask_tiles = [jnp.broadcast_to(mask_ref[c:c + 1, :], shape)
-                  for c in range(n_mask_chunks)]
+    def mask_tile(c):
+        return jnp.broadcast_to(mask_ref[c], shape)
+
+    # Reachability-banded chunk walk: every rollout starts at x0 and moves
+    # at most ``max_cells_per_step`` cells per step, so at step t the
+    # visited ROW-MAJOR cell ids all lie in a contiguous band around x0's
+    # row.  The walk loops ONLY over the chunks intersecting that band
+    # (dynamic fori_loop bounds, register accumulation, dynamic major-dim
+    # ref indexing) — on an 85x84 ROI over a T=100 horizon the average
+    # band is ~55% of the full walk.  2 rows of margin absorb floor/clip
+    # boundary wobble; the bound itself is the same invariant the ROI crop
+    # relies on (per-step displacement <= dt * lin_traction * |v|).
+    y0row = jnp.clip(jnp.floor((x0y - ylim0) * inv_res), 0.0, H - 1.0)
+
+    def banded_walk(t, cell, table3, cells_per_chunk, idx_shift, n_data):
+        reach = t.astype(f32) * max_cells_per_step + 2.0
+        lo_row = jnp.maximum(y0row - reach, 0.0)
+        hi_row = jnp.minimum(y0row + reach, jnp.float32(H - 1))
+        c_lo = (lo_row * W).astype(jnp.int32) // cells_per_chunk
+        c_hi = jnp.minimum(((hi_row + 1.0) * W).astype(jnp.int32)
+                           // cells_per_chunk + 1, n_data)
+
+        def body(c, words):
+            tab = table3[c]
+            if tab.shape[0] != m_tile:
+                tab = jnp.broadcast_to(tab[0:1, :], shape)
+            local = cell - c * cells_per_chunk
+            inb = (local >= 0) & (local < cells_per_chunk)
+            g = jnp.take_along_axis(tab, (local >> idx_shift) & (LANES - 1),
+                                    axis=1, mode="promise_in_bounds")
+            return words | jnp.where(inb, g, 0)
+
+        return jax.lax.fori_loop(c_lo, c_hi, body,
+                                 jnp.zeros(shape, jnp.int32))
 
     def step(t, carry):
         x, y, hd, cost, dist2, reachedf = carry
@@ -313,7 +351,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
         if n_cell_chunks == 1:
             words = jnp.take_along_axis(nib_ref[0], cell >> 2, axis=1,
                                         mode="promise_in_bounds")
-        else:
+        elif n_cell_chunks <= MAX_UNROLLED_CHUNKS:
             words = jnp.zeros(shape, jnp.int32)
             for c in range(n_cell_chunks):
                 local = cell - c * NIB_CELLS_PER_CHUNK
@@ -321,26 +359,31 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
                 g = jnp.take_along_axis(nib_ref[c], (local >> 2) & (LANES - 1),
                                         axis=1, mode="promise_in_bounds")
                 words = jnp.where(inb, g, words)
+        else:
+            words = banded_walk(t, cell, nib_ref, NIB_CELLS_PER_CHUNK, 2,
+                                n_cell_chunks)
         byte = words >> ((cell & 3) << 3)
         lin_tr = jnp.take_along_axis(lut_lin, byte & 0xF, axis=1,
                                      mode="promise_in_bounds")
         ang_tr = jnp.take_along_axis(lut_ang, (byte >> 4) & 0xF, axis=1,
                                      mode="promise_in_bounds")
 
-        if n_mask_chunks == 1 or H * W <= MASK_CELLS_PER_CHUNK:
-            mwords = jnp.take_along_axis(mask_tiles[0], cell >> 4, axis=1,
+        n_mask_data = min(n_mask_chunks, -(-(H * W) // MASK_CELLS_PER_CHUNK))
+        if n_mask_data <= 1:
+            mwords = jnp.take_along_axis(mask_tile(0), cell >> 4, axis=1,
                                          mode="promise_in_bounds")
-        else:
+        elif n_mask_data <= MAX_UNROLLED_CHUNKS:
             mwords = jnp.zeros(shape, jnp.int32)
-            for c in range(n_mask_chunks):
-                if c * MASK_CELLS_PER_CHUNK >= H * W:
-                    break
+            for c in range(n_mask_data):
                 local = cell - c * MASK_CELLS_PER_CHUNK
                 inb = (local >= 0) & (local < MASK_CELLS_PER_CHUNK)
-                g = jnp.take_along_axis(mask_tiles[c],
+                g = jnp.take_along_axis(mask_tile(c),
                                         (local >> 4) & (LANES - 1),
                                         axis=1, mode="promise_in_bounds")
                 mwords = jnp.where(inb, g, mwords)
+        else:
+            mwords = banded_walk(t, cell, mask_ref, MASK_CELLS_PER_CHUNK, 4,
+                                 n_mask_data)
         mcode = mwords >> ((cell & 15) << 1)
         obs = (mcode & 1).astype(f32)
         unk = ((mcode >> 1) & 1).astype(f32)
@@ -419,7 +462,7 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     chunks = nib.reshape(m_pad, n_cell_chunks, LANES).transpose(1, 0, 2)
     masks = jnp.pad(mask_words,
                     (0, n_mask_chunks * LANES - mask_words.shape[0]))
-    masks = masks.reshape(n_mask_chunks, LANES)
+    masks = masks.reshape(n_mask_chunks, 1, LANES)
 
     if step_fn is None:
         from ...models import unicycle_step
@@ -440,7 +483,7 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_cell_chunks, m_tile, LANES),
                          lambda mi, ki: (0, mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_mask_chunks, LANES), lambda mi, ki: (0, 0),
+            pl.BlockSpec((n_mask_chunks, 1, LANES), lambda mi, ki: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LANES), lambda mi, ki: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -469,6 +512,12 @@ def build_bin_luts(task, lin_qbins, ang_qbins):
 
 def build_task_vec(task):
     """Pack the TerrainTask scalars the kernel needs into an (8, 128) tile."""
+    # Index 18: upper bound on per-step cell displacement, for the binned
+    # kernel's reachability-gated chunk walk (max |v| * max decoded linear
+    # traction * dt / res).
+    vmax = jnp.maximum(jnp.abs(task.vrange[0]), jnp.abs(task.vrange[1]))
+    tr_ub = task.lin_lb + task.lin_ratio * 100.0
+    max_cells_per_step = vmax * tr_ub * task.dt / task.res
     vec = jnp.stack([
         task.x0[0], task.x0[1], task.x0[2],
         task.xgoal[0], task.xgoal[1],
@@ -476,6 +525,7 @@ def build_task_vec(task):
         task.dist_weight, task.obs_penalty, task.unknown_penalty,
         1.0 / task.res, task.xlim0, task.ylim0,
         task.lin_lb, task.lin_ratio, task.ang_lb, task.ang_ratio,
+        max_cells_per_step,
     ]).astype(jnp.float32)
     tile = jnp.zeros((8, LANES), jnp.float32)
     return jax.lax.dynamic_update_slice(tile, vec[None], (0, 0))

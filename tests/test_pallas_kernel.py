@@ -135,6 +135,25 @@ def test_binned_kernel_matches_xla_rollout(shape):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
+def test_binned_kernel_banded_walk_path():
+    """Maps beyond MAX_UNROLLED_CHUNKS take the reachability-banded dynamic
+    chunk loop (dynamic fori_loop bounds + dynamic major-dim ref indexing);
+    it must agree with the XLA oracle exactly like the unrolled walk."""
+    from mppi_numba_tpu.ops.pallas.rollout_kernel import (
+        MAX_UNROLLED_CHUNKS, NIB_CELLS_PER_CHUNK)
+
+    H, W = 96, 92           # 8832 cells -> 18 nibble chunks > 16
+    assert -(-H * W // NIB_CELLS_PER_CHUNK) > MAX_UNROLLED_CHUNKS
+    task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+        seed=11, K=128, M=8, T=12, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=12, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
 def test_binned_kernel_odd_m_and_small_tile():
     task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
         seed=4, K=128, M=5, T=10, H=21, W=30)
