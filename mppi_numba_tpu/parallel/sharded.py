@@ -34,15 +34,15 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..config import SolverStatic
-from ..models import get_step_fn
 from ..ops.cvar import (cvar_from_costs, cvar_from_costs_distributed,
                         cvar_from_costs_dynamic,
                         cvar_from_costs_dynamic_distributed)
-from ..ops.packing import pack_map_words
-from ..ops.rollout import control_coupling, terrain_rollout_costs
-from ..ops.sampling import (sample_noise, sample_noise_slice,
-                            sample_traction_grids)
+from ..ops.rollout import control_coupling
+from ..ops.sampling import (decode_bins, sample_noise_slice,
+                            sample_traction_bins)
 from ..ops.update import update_useq
+from ..solver import (_crop_maps, _roi_start, _shift_task_limits,
+                      make_rollout_backend, solver_map_shape)
 from .mesh import MAP_AXIS, ROLLOUT_AXIS, SCENARIO_AXIS
 
 
@@ -68,8 +68,6 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
     K = static.num_control_rollouts
     T = static.num_steps
     M = static.num_grid_samples
-    speed_map = static.mode == "speed_map"
-    step_fn = get_step_fn(static.model)
     n_k = mesh.shape[rollout_axis]
     n_m = dict(mesh.shape).get(map_axis, 1)
     assert K % n_k == 0, f"K={K} must divide over {n_k} rollout shards"
@@ -79,40 +77,53 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
         n_m = 1
     k_local = K // n_k
     m_local = M // n_m
+    rH, rW = solver_map_shape(static)
+    # The same backend selection as the single-device solver: per-shard
+    # rollouts run on the fused Pallas kernels on TPU (the payload/rollout
+    # pair handles shard-local K slices).
+    _, pack_payload, rollout_local = make_rollout_backend(static)
 
-    def sample_grids_local(kmap, maps, task, my_k, my_m):
-        """This shard's (m_local, H, W) grid slices, generated with
+    def sample_bins_local(kmap, maps, task, my_k, my_m, window):
+        """This shard's (m_local, H, W) PMF bin-index slices, generated with
         counter-addressable draws so the UNION over m-shards equals the
         single-device M-sample batch bit-identically; the n_k rollout
         shards of one m-index split the generation work and all-gather."""
         base = my_m * m_local
-        def one(pmf, qbins):
+
+        def one(pmf):
             if n_k > 1 and m_local % n_k == 0:
                 rows = m_local // n_k
-                part = sample_traction_grids(
-                    kmap, pmf, qbins, task.alpha_dyn, rows,
+                part = sample_traction_bins(
+                    kmap, pmf, task.alpha_dyn, rows, window=window,
                     m_window=(M, base + my_k * rows))
-                return jax.lax.all_gather(part, rollout_axis, axis=0,
-                                          tiled=True)
-            if n_m > 1:
-                return sample_traction_grids(kmap, pmf, qbins,
-                                             task.alpha_dyn, m_local,
-                                             m_window=(M, base))
-            return sample_traction_grids(kmap, pmf, qbins, task.alpha_dyn,
-                                         m_local)
-        return (one(maps.lin_pmf, maps.lin_qbins),
-                one(maps.ang_pmf, maps.ang_qbins))
+                return jax.lax.all_gather(part.astype(jnp.int8),
+                                          rollout_axis, axis=0, tiled=True)
+            if n_m > 1 or window is not None:
+                return sample_traction_bins(kmap, pmf, task.alpha_dyn,
+                                            m_local, window=window,
+                                            m_window=(M, base))
+            return sample_traction_bins(kmap, pmf, task.alpha_dyn, m_local)
+
+        return one(maps.lin_pmf), one(maps.ang_pmf)
 
     def solve_one(key, maps, task, u0):
         """One scenario on one (k, m)-shard; collectives bind the axes."""
         my_k = jax.lax.axis_index(rollout_axis)
         my_m = jax.lax.axis_index(map_axis) if n_m > 1 else 0
         kmap, knoise = jax.random.split(key)
-        lin_grids, ang_grids = sample_grids_local(kmap, maps, task,
-                                                  my_k, my_m)
-        packed = pack_map_words(lin_grids, ang_grids, maps.obstacle,
-                                maps.unknown,
-                                maps.risk if speed_map else None)
+        if static.roi_shape:
+            oy, ox = _roi_start(task, static.map_shape, static.roi_shape)
+            maps = _crop_maps(maps, oy, ox, rH, rW)
+            task = _shift_task_limits(task, oy, ox)
+            window = (static.map_shape, oy, ox)
+        else:
+            window = None
+        lin_bins, ang_bins = sample_bins_local(kmap, maps, task, my_k, my_m,
+                                               window)
+        lin_grids = decode_bins(maps.lin_qbins, lin_bins)
+        ang_grids = decode_bins(maps.ang_qbins, ang_bins)
+        packed = pack_payload(lin_bins, ang_bins, lin_grids, ang_grids,
+                              maps, task)
 
         u = u0
         costs = None
@@ -121,9 +132,7 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
             noise = sample_noise_slice(jax.random.fold_in(knoise, i),
                                        task.u_std, K, T,
                                        my_k * k_local, k_local)
-            costs_km = terrain_rollout_costs(packed, task, u, noise,
-                                             speed_map=speed_map,
-                                             step_fn=step_fn)
+            costs_km = rollout_local(packed, task, u, noise)
             if static.cvar_numel == -1:          # DYNAMIC_CVAR sentinel
                 if n_m > 1:
                     cvar = cvar_from_costs_dynamic_distributed(

@@ -115,6 +115,69 @@ def _shift_task_limits(task, oy, ox):
                          ylim0=task.ylim0 + oy.astype(f32) * task.res)
 
 
+def make_rollout_backend(static: SolverStatic):
+    """The backend-specific (pack, rollout) pair, shared by the
+    single-device solver and the multi-chip sharded solver.
+
+    Returns ``(backend_name, pack, rollout)``:
+
+    * ``pack(lin_bins, ang_bins, lin_grids, ang_grids, maps, task)`` builds
+      the rollout payload from sampled PMF bin indices plus the decoded
+      int8 value grids (the bin-packed kernel consumes bins; the byte
+      kernel and XLA core consume values).
+    * ``rollout(payload, task, u, noise) -> (K_actual, M)`` costs, where
+      ``K_actual = noise.shape[0]`` — the sharded solver passes its
+      shard-local noise slice.
+    """
+    backend = resolve_backend(static)
+    H, W = solver_map_shape(static)
+    T = static.num_steps
+    speed_map = static.mode == "speed_map"
+    step_fn = get_step_fn(static.model)
+    # fast_trig replaces the heading update with a unicycle-specific
+    # rotation polynomial; any other model takes the generic exact path.
+    fast_trig = static.fast_trig and static.model == "unicycle"
+
+    def pack(lin_bins, ang_bins, lin_grids, ang_grids, maps, task):
+        if backend == "pallas_binned":
+            return (pack_bin_nibbles(lin_bins, ang_bins),
+                    pack_mask_nibbles(maps.obstacle, maps.unknown),
+                    build_bin_luts(task, maps.lin_qbins, maps.ang_qbins))
+        return pack_map_words(lin_grids, ang_grids, maps.obstacle,
+                              maps.unknown, maps.risk if speed_map else None)
+
+    def _padded_controls(u, noise, task):
+        k = noise.shape[0]
+        v_all, w_all = _clipped_controls_tk(u, noise, task.vrange,
+                                            task.wrange)
+        k_pad = -(-k // LANES) * LANES
+        if k_pad != k:
+            v_all = jnp.pad(v_all, ((0, 0), (0, k_pad - k)))
+            w_all = jnp.pad(w_all, ((0, 0), (0, k_pad - k)))
+        return v_all, w_all
+
+    def rollout(payload, task, u, noise):
+        k = noise.shape[0]
+        if backend == "pallas":
+            v_all, w_all = _padded_controls(u, noise, task)
+            costs_km = terrain_rollout_costs_pallas(
+                payload, build_task_vec(task), v_all, w_all,
+                H=H, W=W, T=T, speed_map=speed_map,
+                fast_trig=fast_trig, step_fn=step_fn)
+            return costs_km[:k]
+        if backend == "pallas_binned":
+            nib, maskw, lut = payload
+            v_all, w_all = _padded_controls(u, noise, task)
+            costs_km = terrain_rollout_costs_pallas_binned(
+                nib, maskw, lut, build_task_vec(task), v_all, w_all,
+                H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn)
+            return costs_km[:k]
+        return terrain_rollout_costs(payload, task, u, noise,
+                                     speed_map=speed_map, step_fn=step_fn)
+
+    return backend, pack, rollout
+
+
 @functools.lru_cache(maxsize=None)
 def get_terrain_solver(static: SolverStatic):
     """Build (and cache) the jitted terrain-mode solve function.
@@ -126,41 +189,8 @@ def get_terrain_solver(static: SolverStatic):
     T = static.num_steps
     M = static.num_grid_samples
     V = static.num_vis_state_rollouts
-    speed_map = static.mode == "speed_map"
-    backend = resolve_backend(static)
     H, W = solver_map_shape(static)
-    step_fn = get_step_fn(static.model)
-
-    def _padded_controls(u, noise, task):
-        v_all, w_all = _clipped_controls_tk(u, noise, task.vrange,
-                                            task.wrange)
-        k_pad = -(-K // LANES) * LANES
-        if k_pad != K:
-            v_all = jnp.pad(v_all, ((0, 0), (0, k_pad - K)))
-            w_all = jnp.pad(w_all, ((0, 0), (0, k_pad - K)))
-        return v_all, w_all
-
-    # fast_trig replaces the heading update with a unicycle-specific
-    # rotation polynomial; any other model takes the generic exact path.
-    fast_trig = static.fast_trig and static.model == "unicycle"
-
-    def rollout(packed, task, u, noise):
-        if backend == "pallas":
-            v_all, w_all = _padded_controls(u, noise, task)
-            costs_km = terrain_rollout_costs_pallas(
-                packed, build_task_vec(task), v_all, w_all,
-                H=H, W=W, T=T, speed_map=speed_map,
-                fast_trig=fast_trig, step_fn=step_fn)
-            return costs_km[:K]
-        if backend == "pallas_binned":
-            nib, maskw, lut = packed
-            v_all, w_all = _padded_controls(u, noise, task)
-            costs_km = terrain_rollout_costs_pallas_binned(
-                nib, maskw, lut, build_task_vec(task), v_all, w_all,
-                H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn)
-            return costs_km[:K]
-        return terrain_rollout_costs(packed, task, u, noise,
-                                     speed_map=speed_map, step_fn=step_fn)
+    _, pack_payload, rollout = make_rollout_backend(static)
 
     def solve_fn(key, maps, task, u0):
         kmap, knoise = jax.random.split(key)
@@ -178,30 +208,18 @@ def get_terrain_solver(static: SolverStatic):
         # SAME seed (reference: mppi_numba/terrain.py:173-176), so both grids
         # are drawn from identical uniforms — their bin choices are
         # comonotone.  We preserve that coupling by reusing one key.
-        if backend == "pallas_binned":
-            lin_bins = sample_traction_bins(kmap, maps.lin_pmf,
-                                            task.alpha_dyn, M, window=window)
-            ang_bins = sample_traction_bins(kmap, maps.ang_pmf,
-                                            task.alpha_dyn, M, window=window)
-            # Decoded int8 value grids feed SolveAux / the vis path only
-            # (the kernel reads nibbles + LUT).  Cost at flagship-forest
-            # scale: ~15 MB of elementwise int8 writes ~= 0.04 ms against a
-            # 10.9 ms solve — kept for the sample_grid_batch API parity.
-            lin_grids = decode_bins(maps.lin_qbins, lin_bins)
-            ang_grids = decode_bins(maps.ang_qbins, ang_bins)
-            packed = (pack_bin_nibbles(lin_bins, ang_bins),
-                      pack_mask_nibbles(maps.obstacle, maps.unknown),
-                      build_bin_luts(task, maps.lin_qbins, maps.ang_qbins))
-        else:
-            lin_grids = sample_traction_grids(kmap, maps.lin_pmf,
-                                              maps.lin_qbins, task.alpha_dyn,
-                                              M, window=window)
-            ang_grids = sample_traction_grids(kmap, maps.ang_pmf,
-                                              maps.ang_qbins, task.alpha_dyn,
-                                              M, window=window)
-            packed = pack_map_words(lin_grids, ang_grids, maps.obstacle,
-                                    maps.unknown,
-                                    maps.risk if speed_map else None)
+        lin_bins = sample_traction_bins(kmap, maps.lin_pmf,
+                                        task.alpha_dyn, M, window=window)
+        ang_bins = sample_traction_bins(kmap, maps.ang_pmf,
+                                        task.alpha_dyn, M, window=window)
+        # Decoded int8 value grids feed SolveAux / the vis path (and the
+        # byte/XLA payloads).  Cost at flagship-forest scale: ~15 MB of
+        # elementwise int8 writes ~= 0.04 ms against a 10.9 ms solve —
+        # kept for the sample_grid_batch API parity.
+        lin_grids = decode_bins(maps.lin_qbins, lin_bins)
+        ang_grids = decode_bins(maps.ang_qbins, ang_bins)
+        packed = pack_payload(lin_bins, ang_bins, lin_grids, ang_grids,
+                              maps, task)
 
         u = u0
         noise = None
