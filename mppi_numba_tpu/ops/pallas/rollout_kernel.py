@@ -285,7 +285,7 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
 
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
                            cost_ref, *, T, H, W, n_cell_chunks,
-                           n_mask_chunks, fast_trig, step_fn):
+                           n_mask_chunks, fast_trig, step_fn, banded):
     f32 = jnp.float32
     x0x, x0y, x0th = task_ref[0, 0], task_ref[0, 1], task_ref[0, 2]
     gx, gy = task_ref[0, 3], task_ref[0, 4]
@@ -317,6 +317,17 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
     # boundary wobble; the bound itself is the same invariant the ROI crop
     # relies on (per-step displacement <= dt * lin_traction * |v|).
     y0row = jnp.clip(jnp.floor((x0y - ylim0) * inv_res), 0.0, H - 1.0)
+
+    def unrolled_walk(cell, table_at, cells_per_chunk, idx_shift, n_data):
+        words = jnp.zeros(shape, jnp.int32)
+        for c in range(n_data):
+            local = cell - c * cells_per_chunk
+            inb = (local >= 0) & (local < cells_per_chunk)
+            g = jnp.take_along_axis(table_at(c),
+                                    (local >> idx_shift) & (LANES - 1),
+                                    axis=1, mode="promise_in_bounds")
+            words = jnp.where(inb, g, words)
+        return words
 
     def banded_walk(t, cell, table3, cells_per_chunk, idx_shift, n_data):
         reach = t.astype(f32) * max_cells_per_step + 2.0
@@ -351,14 +362,9 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
         if n_cell_chunks == 1:
             words = jnp.take_along_axis(nib_ref[0], cell >> 2, axis=1,
                                         mode="promise_in_bounds")
-        elif n_cell_chunks <= MAX_UNROLLED_CHUNKS:
-            words = jnp.zeros(shape, jnp.int32)
-            for c in range(n_cell_chunks):
-                local = cell - c * NIB_CELLS_PER_CHUNK
-                inb = (local >= 0) & (local < NIB_CELLS_PER_CHUNK)
-                g = jnp.take_along_axis(nib_ref[c], (local >> 2) & (LANES - 1),
-                                        axis=1, mode="promise_in_bounds")
-                words = jnp.where(inb, g, words)
+        elif n_cell_chunks <= MAX_UNROLLED_CHUNKS or not banded:
+            words = unrolled_walk(cell, lambda c: nib_ref[c],
+                                  NIB_CELLS_PER_CHUNK, 2, n_cell_chunks)
         else:
             words = banded_walk(t, cell, nib_ref, NIB_CELLS_PER_CHUNK, 2,
                                 n_cell_chunks)
@@ -372,15 +378,9 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
         if n_mask_data <= 1:
             mwords = jnp.take_along_axis(mask_tile(0), cell >> 4, axis=1,
                                          mode="promise_in_bounds")
-        elif n_mask_data <= MAX_UNROLLED_CHUNKS:
-            mwords = jnp.zeros(shape, jnp.int32)
-            for c in range(n_mask_data):
-                local = cell - c * MASK_CELLS_PER_CHUNK
-                inb = (local >= 0) & (local < MASK_CELLS_PER_CHUNK)
-                g = jnp.take_along_axis(mask_tile(c),
-                                        (local >> 4) & (LANES - 1),
-                                        axis=1, mode="promise_in_bounds")
-                mwords = jnp.where(inb, g, mwords)
+        elif n_mask_data <= MAX_UNROLLED_CHUNKS or not banded:
+            mwords = unrolled_walk(cell, mask_tile, MASK_CELLS_PER_CHUNK, 4,
+                                   n_mask_data)
         else:
             mwords = banded_walk(t, cell, mask_ref, MASK_CELLS_PER_CHUNK, 4,
                                  n_mask_data)
@@ -427,11 +427,12 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, lut_ref, v_ref, w_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "T", "fast_trig", "interpret",
-                                    "m_tile", "step_fn"))
+                                    "m_tile", "step_fn", "banded"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, *, H, W, T,
                                         fast_trig=False, interpret=False,
-                                        m_tile=None, step_fn=None):
+                                        m_tile=None, step_fn=None,
+                                        banded=True):
     """Fused rollout with 4-bit bin-index maps.
 
     Args:
@@ -473,7 +474,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     kernel = functools.partial(_rollout_kernel_binned, T=T, H=H, W=W,
                                n_cell_chunks=n_cell_chunks,
                                n_mask_chunks=n_mask_chunks,
-                               fast_trig=fast_trig, step_fn=step_fn)
+                               fast_trig=fast_trig, step_fn=step_fn,
+                               banded=banded)
     costs_mk = pl.pallas_call(
         kernel,
         grid=grid,

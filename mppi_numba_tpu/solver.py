@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverStatic
-from .models import clip_controls, get_step_fn
+from .models import clip_controls, get_step_fn, has_displacement_bound
 from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 
 # Sentinel for SolverStatic.cvar_numel: read the traced task.cvar_alpha
@@ -36,8 +36,7 @@ from .ops.pallas.rollout_kernel import (LANES, build_bin_luts, build_task_vec,
 from .ops.rollout import (_clipped_controls_tk, barebone_rollout_costs,
                           barebone_vis_states, control_coupling,
                           terrain_rollout_costs, terrain_vis_states)
-from .ops.sampling import (decode_bins, sample_noise, sample_traction_bins,
-                           sample_traction_grids)
+from .ops.sampling import decode_bins, sample_noise, sample_traction_bins
 from .ops.update import update_useq
 from .types import SolveAux
 
@@ -170,7 +169,11 @@ def make_rollout_backend(static: SolverStatic):
             v_all, w_all = _padded_controls(u, noise, task)
             costs_km = terrain_rollout_costs_pallas_binned(
                 nib, maskw, lut, build_task_vec(task), v_all, w_all,
-                H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn)
+                H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn,
+                # The reachability band assumes per-step translation
+                # <= dt * lin_traction * |v|; models without that declared
+                # bound walk every chunk instead (correct, just slower).
+                banded=has_displacement_bound(static.model))
             return costs_km[:k]
         return terrain_rollout_costs(payload, task, u, noise,
                                      speed_map=speed_map, step_fn=step_fn)

@@ -80,7 +80,6 @@ def main():
           flush=True)
     for model, backend in (("unicycle", "auto"), ("bicycle", "auto"),
                            ("bicycle", "xla")):
-        from mppi_numba_tpu.solver import resolve_backend
         try:
             ms = bench_terrain_model(model, backend)
         except Exception as e:  # noqa: BLE001

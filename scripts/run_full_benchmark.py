@@ -75,6 +75,11 @@ def _ustd_tag():
     tag = "" if U_STD_ANG == 3.0 else "_us{:g}".format(U_STD_ANG)
     if DIST_WEIGHT != 1.0:
         tag += "_dw{:g}".format(DIST_WEIGHT)
+    if sorted(METHOD_LIST) not in (sorted(["noisy_dyn", "risk_dyn",
+                                           "nom_dyn_risk_cost"]),
+                                   sorted(PAPER_METHOD_LIST)):
+        # A --methods-restricted run must not clobber full-run artifacts.
+        tag += "_" + "-".join(METHOD_LIST)
     return tag
 
 

@@ -16,14 +16,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def newest_pickle():
-    """The most recently written full-run pickle (any scale / u_std tag) —
-    filename-pattern hardcoding silently published stale results after
-    tagged runs (e.g. the --paper-u-std *_us2 pickles)."""
+    """The largest-scale run, newest on ties: mtime alone let a small smoke
+    run (or arbitrary checkout mtimes on a fresh clone) silently replace the
+    16,000-trial headline with a 1,800-trial summary."""
+    import re
     cands = [p for p in glob.glob("mppi_benchmark/envs_*_device*.pickle")
              if "_dw" not in p]   # _dw* are single-method sensitivity probes
     if not cands:
         raise SystemExit("no benchmark pickles under mppi_benchmark/")
-    return max(cands, key=os.path.getmtime)
+
+    def scale(p):
+        m = re.search(r"envs_(\d+)_trials_(\d+)", p)
+        return int(m.group(1)) * int(m.group(2)) if m else 0
+
+    return max(cands, key=lambda p: (scale(p), os.path.getmtime(p)))
 
 PAPER = {  # reference paper-run success rates (BASELINE.md, 16,000 trials)
     "noisy_dyn": 0.893, "risk_dyn": 0.736, "nom_dyn_risk_cost": 0.536,

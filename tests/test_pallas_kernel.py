@@ -154,6 +154,33 @@ def test_binned_kernel_banded_walk_path():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
+def test_banded_walk_disabled_for_unbounded_models():
+    """A custom model whose translation exceeds dt*lin_tr*|v| would escape
+    the reachability band; with banded=False (what the solver passes for
+    models without the declared bound) the kernel must walk every chunk
+    and match the oracle (round-2 review finding: the banded walk returned
+    zero words for out-of-band steps, max cost error ~1e4)."""
+    def warp_step(x, y, th, v, w, lin_tr, ang_tr, dt):
+        return (x + dt * 10.0 * v * jnp.cos(th),
+                y + dt * 10.0 * v * jnp.sin(th), th + dt * w)
+
+    H, W = 160, 128         # 20480 cells -> 40 nibble chunks, banded regime
+    task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+        seed=13, K=128, M=8, T=10, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise,
+                                           step_fn=warp_step))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=10, interpret=True, step_fn=warp_step, banded=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+    # And the solver-level guard: an unregistered-bound model resolves to a
+    # non-banded rollout even through the shared backend factory.
+    from mppi_numba_tpu.models import has_displacement_bound
+    assert not has_displacement_bound("definitely-not-registered")
+
+
 def test_binned_kernel_odd_m_and_small_tile():
     task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
         seed=4, K=128, M=5, T=10, H=21, W=30)
