@@ -107,7 +107,10 @@ def _cfg_for_method(orig_cfg: Config, method: str) -> Config:
     if method == "nom_dyn_risk_cost":
         return Config(use_nom_dynamics_with_speed_map=True, **kw)
     if method == "noisy_dyn":
-        return Config(use_tdm=True, **kw)
+        # noisy_dyn sweeps cvar_alpha across trials; tracing it (instead of
+        # specializing cvar_numel per alpha) makes the whole 5-alpha sweep
+        # share ONE executable — same mechanism the device engine uses.
+        return Config(use_tdm=True, dynamic_cvar=True, **kw)
     raise ValueError(method)
 
 

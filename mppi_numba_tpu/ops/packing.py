@@ -95,6 +95,28 @@ def pack_mask_nibbles(obstacle_map, unknown_map):
     return word
 
 
+def pack_risk_bytes(risk_map):
+    """Pack the shared CVaR risk/speed byte map 4 cells per int32 word.
+
+    Speed-map mode's fifth per-step map read (reference:
+    mppi_numba/mppi.py:1095-1096) for the bin-packed kernel: the risk byte
+    (0..100) is per-CELL but shared across the M map samples, so it packs
+    like the nibble plane (4 cells/word, 512 cells per 128-word chunk) but
+    occupies a single broadcast sublane — the risk walk reuses the nibble
+    walk's banding with ~zero extra VMEM.
+
+    Args:
+      risk_map: int8 ``(H, W)`` CVaR speed map (0..100).
+
+    Returns:
+      int32 ``(ceil(H*W/4),)``.
+    """
+    b = risk_map.astype(jnp.int32).reshape(-1)
+    pad = (-b.shape[0]) % 4
+    b = jnp.pad(b, (0, pad)).reshape(-1, 4)
+    return b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+
+
 def unpack_lin(words):
     return words & 0xFF
 

@@ -105,6 +105,45 @@ def _uniform01_at_counters(key, idx):
     return jax.lax.bitcast_convert_type(fb, jnp.float32) - jnp.float32(1.0)
 
 
+_COUNTER_LAYOUT_VERIFIED = False
+
+
+def _verify_counter_layout():
+    """One-time runtime self-check of the counter-addressable-draw contract.
+
+    ``_uniform01_at_counters`` reproduces jax._src.prng internals (threefry
+    counters laid out as ``(0, flat_index)`` plus the _uniform mantissa
+    trick).  The guards above check the key impl and the partitionable flag,
+    but not the counter layout itself — if a future JAX release changed
+    ``_threefry_random_bits_partitionable``'s index mapping, the ROI-crop /
+    shard-local bit-identity contract would silently break in production.
+    So the first counter-addressable draw in a process pays one tiny eager
+    comparison against the public ``jax.random`` API and raises on mismatch.
+    """
+    global _COUNTER_LAYOUT_VERIFIED
+    if _COUNTER_LAYOUT_VERIFIED:
+        return
+    _COUNTER_LAYOUT_VERIFIED = True   # set first: the draws below recurse here
+    # The first counter draw usually happens while TRACING a solve;
+    # ensure_compile_time_eval keeps this one-time probe eager/concrete.
+    with jax.ensure_compile_time_eval():
+        key = jax.random.PRNGKey(0x5EED)
+        shape = (3, 2, 7)
+        total = int(np.prod(shape))
+        want_u = np.asarray(jax.random.uniform(key, shape)).reshape(-1)
+        got_u = np.asarray(_uniform01_at_counters(
+            key, jnp.arange(total, dtype=jnp.uint32)))
+        want_n = np.asarray(jax.random.normal(key, shape))[1:]
+        got_n = np.asarray(normal_slice(key, shape, 1, 2))
+    if not (np.array_equal(want_u, got_u) and np.array_equal(want_n, got_n)):
+        _COUNTER_LAYOUT_VERIFIED = False
+        raise RuntimeError(
+            "counter-addressable draws no longer match jax.random draws — "
+            "this JAX version changed the partitionable-threefry counter "
+            "layout; the ROI-crop / shard-local bit-identity contract is "
+            "broken (mppi_numba_tpu/ops/sampling.py)")
+
+
 def uniform_window(key, num_samples, full_hw, oy, ox, window_hw,
                    m_offset=0, full_num_samples=None):
     """A window of ``jax.random.uniform(key, (full_M, H*W))``, bit-identical.
@@ -123,6 +162,7 @@ def uniform_window(key, num_samples, full_hw, oy, ox, window_hw,
     Returns:
       float32 ``(num_samples, rH*rW)`` uniforms in [0, 1).
     """
+    _verify_counter_layout()
     H, W = full_hw
     rH, rW = window_hw
     full_m = num_samples if full_num_samples is None else full_num_samples
@@ -150,6 +190,7 @@ def normal_slice(key, full_shape, start, count, dtype=jnp.float32):
     ``count`` is static.
     """
     assert dtype == jnp.float32, "normal_slice replicates the f32 path only"
+    _verify_counter_layout()
     total = int(np.prod(full_shape))
     if total >= 2 ** 32:
         raise NotImplementedError(

@@ -41,8 +41,9 @@ from ..ops.rollout import control_coupling
 from ..ops.sampling import (decode_bins, sample_noise_slice,
                             sample_traction_bins)
 from ..ops.update import update_useq
-from ..solver import (_crop_maps, _roi_start, _shift_task_limits,
-                      make_rollout_backend, solver_map_shape)
+from ..solver import (DYNAMIC_CVAR, _crop_maps, _roi_start,
+                      _shift_task_limits, make_rollout_backend,
+                      solver_map_shape)
 from .mesh import MAP_AXIS, ROLLOUT_AXIS, SCENARIO_AXIS
 
 
@@ -90,13 +91,19 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
         shards of one m-index split the generation work and all-gather."""
         base = my_m * m_local
 
+        # Bin indices travel over ICI as int8 to quarter the all-gather
+        # payload; int8 only holds indices <= 127 (the Pallas kernels cap at
+        # 16 bins, but the XLA backend accepts arbitrary bin counts).
+        gather_dtype = (jnp.int8 if 0 < static.num_pmf_bins <= 127
+                        else jnp.int32)     # 0 = bin count unknown
+
         def one(pmf):
             if n_k > 1 and m_local % n_k == 0:
                 rows = m_local // n_k
                 part = sample_traction_bins(
                     kmap, pmf, task.alpha_dyn, rows, window=window,
                     m_window=(M, base + my_k * rows))
-                return jax.lax.all_gather(part.astype(jnp.int8),
+                return jax.lax.all_gather(part.astype(gather_dtype),
                                           rollout_axis, axis=0, tiled=True)
             if n_m > 1 or window is not None:
                 return sample_traction_bins(kmap, pmf, task.alpha_dyn,
@@ -133,7 +140,7 @@ def make_sharded_terrain_solver(static: SolverStatic, mesh,
                                        task.u_std, K, T,
                                        my_k * k_local, k_local)
             costs_km = rollout_local(packed, task, u, noise)
-            if static.cvar_numel == -1:          # DYNAMIC_CVAR sentinel
+            if static.cvar_numel == DYNAMIC_CVAR:
                 if n_m > 1:
                     cvar = cvar_from_costs_dynamic_distributed(
                         costs_km, task.cvar_alpha, map_axis)

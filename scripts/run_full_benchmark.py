@@ -181,7 +181,11 @@ def main():
                      "--envs", str(ENVS_PER_DENSITY),
                      "--trials", str(TRIALS_PER_ENV),
                      "--u-std-ang", str(U_STD_ANG),
-                 "--dist-weight", str(DIST_WEIGHT)],
+                     "--dist-weight", str(DIST_WEIGHT),
+                     # The child must see the SAME method list so its
+                     # sweep_path() tag matches the parent's (a mismatch
+                     # defeats resume caching and the final aggregation).
+                     "--methods", ",".join(METHOD_LIST)],
                     cwd=os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))),
                     timeout=budget)

@@ -33,11 +33,18 @@ def test_run_trials_schema_and_pairing():
                  use_tdm=True)
     grid_shape = (9, 9)
     params = default_benchmark_params(cfg, grid_shape, mud_margin=1)
+    from mppi_numba_tpu.solver import get_terrain_solver
+    before = get_terrain_solver.cache_info().currsize
     df = run_trials(cfg, world, max_steps=20, grid_shape=grid_shape,
                     mud_margin=1, res=1.0, default_mppi_params=params,
                     grass_density_list=[0.4], envs_per_density=1,
                     trials_per_env=2, alpha_list=[1.0, 0.5],
                     method_list=["noisy_dyn", "risk_dyn"], verbose=False)
+
+    # One executable per method serves its whole alpha sweep: noisy_dyn's
+    # cvar_alpha is traced (dynamic_cvar default in _cfg_for_method),
+    # risk_dyn's alpha only changes map contents, never the static shape.
+    assert get_terrain_solver.cache_info().currsize == before + 2
 
     assert EXPECTED_COLUMNS.issubset(df.columns)
     # 2 methods x 1 density x 1 env x 2 alphas x 2 realizations
