@@ -27,7 +27,7 @@ from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 # instead of specializing the executable on a fixed top-k size.
 DYNAMIC_CVAR = -1
 from .ops.packing import (pack_bin_nibbles, pack_map_words,
-                          pack_mask_nibbles)
+                          pack_mask_nibbles, pack_risk_bytes)
 from .ops.pallas.rollout_kernel import (LANES, build_bin_luts, build_task_vec,
                                         pallas_rollout_binned_supported,
                                         pallas_rollout_supported,
@@ -67,10 +67,11 @@ def resolve_backend(static: SolverStatic) -> str:
     # fewer chunks (and fits VMEM at flagship M on realistic maps).
     if byte_ok and H * W <= 4 * LANES:
         return "pallas"
-    if (static.mode in ("tdm", "det_dyn")
-            and pallas_rollout_binned_supported(
-                static.num_grid_samples, H * W, static.num_steps,
-                static.num_pmf_bins)):
+    if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
+                                       static.num_steps,
+                                       static.num_pmf_bins):
+        # All three planning modes bin-pack: speed_map walks one extra
+        # shared risk-byte plane (same 512-cells/chunk layout and band).
         return "pallas_binned"
     if byte_ok:
         return "pallas"
@@ -129,6 +130,13 @@ def make_rollout_backend(static: SolverStatic):
       shard-local noise slice.
     """
     backend = resolve_backend(static)
+    # "<kernel>_interpret" runs the Pallas kernel in interpreter mode (any
+    # backend, incl. CPU): the test suite uses it to pin the SOLVER-level
+    # payload wiring (packing, ROI, task vec) through the kernel path
+    # without TPU hardware.
+    interpret = backend.endswith("_interpret")
+    if interpret:
+        backend = backend[:-len("_interpret")]
     H, W = solver_map_shape(static)
     T = static.num_steps
     speed_map = static.mode == "speed_map"
@@ -141,7 +149,8 @@ def make_rollout_backend(static: SolverStatic):
         if backend == "pallas_binned":
             return (pack_bin_nibbles(lin_bins, ang_bins),
                     pack_mask_nibbles(maps.obstacle, maps.unknown),
-                    build_bin_luts(task, maps.lin_qbins, maps.ang_qbins))
+                    build_bin_luts(task, maps.lin_qbins, maps.ang_qbins),
+                    pack_risk_bytes(maps.risk) if speed_map else None)
         return pack_map_words(lin_grids, ang_grids, maps.obstacle,
                               maps.unknown, maps.risk if speed_map else None)
 
@@ -162,14 +171,15 @@ def make_rollout_backend(static: SolverStatic):
             costs_km = terrain_rollout_costs_pallas(
                 payload, build_task_vec(task), v_all, w_all,
                 H=H, W=W, T=T, speed_map=speed_map,
-                fast_trig=fast_trig, step_fn=step_fn)
+                fast_trig=fast_trig, step_fn=step_fn, interpret=interpret)
             return costs_km[:k]
         if backend == "pallas_binned":
-            nib, maskw, lut = payload
+            nib, maskw, lut, riskw = payload
             v_all, w_all = _padded_controls(u, noise, task)
             costs_km = terrain_rollout_costs_pallas_binned(
-                nib, maskw, lut, build_task_vec(task), v_all, w_all,
+                nib, maskw, lut, build_task_vec(task), v_all, w_all, riskw,
                 H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn,
+                interpret=interpret,
                 # The reachability band assumes per-step translation
                 # <= dt * lin_traction * |v|; models without that declared
                 # bound walk every chunk instead (correct, just slower).

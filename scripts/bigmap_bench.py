@@ -38,7 +38,7 @@ VMAX = 2.0
 CVAR_ALPHA = 0.2
 
 
-def build(H, W, roi, backend="auto"):
+def build(H, W, roi, backend="auto", mode="tdm"):
     rng = np.random.RandomState(0)
     raw = rng.randint(0, 100, size=(B, H, W)).astype(float)
     pmf = (raw / raw.sum(0) * 100).astype(np.int8)
@@ -49,7 +49,7 @@ def build(H, W, roi, backend="auto"):
         lin_qbins=jnp.asarray(qbins), ang_qbins=jnp.asarray(qbins),
         obstacle=jnp.zeros((H, W), jnp.int8),
         unknown=jnp.zeros((H, W), jnp.int8),
-        risk=jnp.zeros((H, W), jnp.int8))
+        risk=jnp.asarray(rng.randint(30, 101, (H, W)).astype(np.int8)))
     x0 = [W * RES / 2, H * RES / 2, 0.785]
     goal = [W * RES - 2, H * RES - 2]
     flat = np.concatenate([
@@ -61,10 +61,12 @@ def build(H, W, roi, backend="auto"):
                        fl[7:9], fl[9:11], fl[14], fl[15], fl[16], fl[17],
                        fl[18], fl[19], fl[20], fl[21], fl[22], fl[23],
                        fl[24], fl[25])
-    static = SolverStatic(mode="tdm", num_steps=T, num_control_rollouts=K,
-                          num_grid_samples=M, map_shape=(H, W),
+    m = M if mode == "tdm" else 1      # det modes roll one condensed map
+    static = SolverStatic(mode=mode, num_steps=T, num_control_rollouts=K,
+                          num_grid_samples=m, map_shape=(H, W),
                           num_obstacles=0,
-                          cvar_numel=math.ceil(M * CVAR_ALPHA), num_opt=1,
+                          cvar_numel=math.ceil(m * CVAR_ALPHA) if m > 1 else 1,
+                          num_opt=1,
                           num_vis_state_rollouts=1, fast_trig=True,
                           backend=backend, roi_shape=roi, num_pmf_bins=B)
     return static, maps, task
@@ -98,15 +100,25 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     scenarios = [
-        # (label, H, W, roi, backend, n_chain)
-        ("forest_140x84_binned", 140, 84, None, "auto", 30),
-        ("forest_140x84_binned_roi", 140, 84, roi_for(140, 84), "auto", 30),
-        ("max_250x250_binned_roi", 250, 250, roi_for(250, 250), "auto", 30),
-        ("max_250x250_binned_full", 250, 250, None, "auto", 10),
-        ("forest_140x84_xla", 140, 84, None, "xla", 5),
+        # (label, H, W, roi, backend, mode, n_chain)
+        ("forest_140x84_binned", 140, 84, None, "auto", "tdm", 30),
+        ("forest_140x84_binned_roi", 140, 84, roi_for(140, 84), "auto",
+         "tdm", 30),
+        ("max_250x250_binned_roi", 250, 250, roi_for(250, 250), "auto",
+         "tdm", 30),
+        ("max_250x250_binned_full", 250, 250, None, "auto", "tdm", 10),
+        # det_dyn / speed_map (the IROS-22 risk-dyn and speed-map methods;
+        # M=1) on the same realistic maps — round-3 VERDICT item 1.
+        ("forest_140x84_det", 140, 84, None, "auto", "det_dyn", 30),
+        ("max_250x250_det_full", 250, 250, None, "auto", "det_dyn", 30),
+        ("forest_140x84_speed", 140, 84, None, "auto", "speed_map", 30),
+        ("max_250x250_speed_full", 250, 250, None, "auto", "speed_map", 30),
+        ("max_250x250_speed_roi", 250, 250, roi_for(250, 250), "auto",
+         "speed_map", 30),
+        ("forest_140x84_xla", 140, 84, None, "xla", "tdm", 5),
     ]
-    for label, H, W, roi, backend, n in scenarios:
-        static, maps, task = build(H, W, roi, backend)
+    for label, H, W, roi, backend, mode, n in scenarios:
+        static, maps, task = build(H, W, roi, backend, mode)
         be = resolve_backend(static)
         try:
             ms = measure(static, maps, task, n)
@@ -115,7 +127,7 @@ def main():
                               "error": str(e).splitlines()[0][:120]}))
             continue
         print(json.dumps({
-            "scenario": label, "backend": be,
+            "scenario": label, "backend": be, "mode": mode,
             "roi": list(roi) if roi else None,
             "ms_per_solve": round(ms, 3),
             "budget_50ms": ms <= 50.0,

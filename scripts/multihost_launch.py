@@ -62,24 +62,36 @@ def worker(args):
     import __graft_entry__ as g
     from mppi_numba_tpu.parallel.sharded import get_sharded_terrain_solver
 
-    mesh = multihost.global_mesh()
+    if args.mesh_axis == "k":
+        # WORST-CASE layout (SCALING.md "K-sharded across hosts"): one
+        # solve's rollout axis spans every process, so the per-iteration
+        # pmin/psum collectives AND the shard-local map-sample all-gather
+        # cross the inter-process fabric (gloo here, DCN on a pod).
+        mesh = multihost.global_mesh(num_scenario_shards=1)
+    else:
+        mesh = multihost.global_mesh()
     n_s = dict(mesh.shape)["scenario"]
     per_proc = n_s // nproc
-    S = n_s
+    S = max(n_s, 2)
     K = 32 * dict(mesh.shape)["k"]
 
     static, maps, task, u0 = g._make_problem(S=S, K=K, M=8, T=10, H=13,
                                              W=15)
     multihost.assert_uniform_static(static, mesh)
 
-    # Per-process scenario data -> global sharded batch.
-    lo = pid * per_proc
-    local = jax.tree.map(lambda x: np.asarray(x)[lo:lo + per_proc],
+    # Per-process scenario data -> global sharded batch.  When the scenario
+    # axis does not span processes (k-mode), the batch is replicated and
+    # every process feeds the full S scenarios.
+    if per_proc == 0:
+        lo, hi = 0, S
+    else:
+        lo, hi = pid * (S // nproc), (pid + 1) * (S // nproc)
+    local = jax.tree.map(lambda x: np.asarray(x)[lo:hi],
                          (maps, task, u0))
     maps_g, task_g, u0_g = multihost.host_local_scenarios(mesh, local)
     keys_g = multihost.host_local_scenarios(
         mesh, np.stack([np.asarray(jax.random.PRNGKey(s))
-                        for s in range(S)])[lo:lo + per_proc])
+                        for s in range(S)])[lo:hi])
 
     solver = get_sharded_terrain_solver(static, mesh)
     u, costs = solver(keys_g, maps_g, task_g, u0_g)
@@ -104,19 +116,21 @@ def worker(args):
           "scenarios: OK".format(pid, checked), flush=True)
 
 
-def demo():
-    """Spawn the 2-process localhost rehearsal and wait for both."""
+def demo(num_procs=DEMO_PROCS, mesh_axis="scenario"):
+    """Spawn the localhost rehearsal and wait for all processes."""
     procs = []
-    for pid in range(DEMO_PROCS):
+    for pid in range(num_procs):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--coordinator", "localhost:{}".format(DEMO_PORT),
-             "--num-processes", str(DEMO_PROCS),
-             "--process-id", str(pid), "--cpu"],
+             "--num-processes", str(num_procs),
+             "--process-id", str(pid), "--cpu",
+             "--mesh-axis", mesh_axis],
             cwd=REPO))
-    rcs = [p.wait(timeout=300) for p in procs]
+    rcs = [p.wait(timeout=600) for p in procs]
     assert all(rc == 0 for rc in rcs), rcs
-    print("multihost demo: all {} processes OK".format(DEMO_PROCS))
+    print("multihost demo: all {} processes OK (mesh axis across "
+          "processes: {})".format(num_procs, mesh_axis))
 
 
 def main():
@@ -130,9 +144,17 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend with {} virtual devices"
                     .format(DEMO_LOCAL_DEVICES))
+    ap.add_argument("--mesh-axis", choices=("scenario", "k"),
+                    default="scenario",
+                    help="which mesh axis spans processes: 'scenario' "
+                         "(default, pure data parallelism over DCN) or 'k' "
+                         "(worst case: per-iteration collectives cross the "
+                         "inter-process fabric)")
+    ap.add_argument("--procs", type=int, default=DEMO_PROCS,
+                    help="process count for --demo (2 or 4)")
     args = ap.parse_args()
     if args.demo:
-        demo()
+        demo(args.procs, args.mesh_axis)
     else:
         worker(args)
 

@@ -79,17 +79,23 @@ CASES = [
 ]
 
 BINNED_CASES = [
-    # (name, K, M, T, H, W, B, fast_trig) — the bin-packed kernel on the
-    # realistic shapes it was built for (forest TDM / ROI windows).
-    ("bin-small", 256, 64, 40, 13, 15, 12, False),
-    ("bin-forest", 512, 256, 50, 140, 84, 12, False),
-    ("bin-roi", 1024, 256, 50, 85, 85, 12, False),
-    ("bin-smooth-ft", 512, 64, 50, 85, 85, 1, True),
+    # (name, K, M, T, H, W, B, speed_map, fast_trig) — the bin-packed kernel
+    # on the realistic shapes it was built for (forest TDM / ROI windows).
+    ("bin-small", 256, 64, 40, 13, 15, 12, False, False),
+    ("bin-forest", 512, 256, 50, 140, 84, 12, False, False),
+    ("bin-roi", 1024, 256, 50, 85, 85, 12, False, False),
+    ("bin-smooth-ft", 512, 64, 50, 85, 85, 1, False, True),
+    # Speed-map mode (M=1, shared risk-byte walk) incl. the banded regime.
+    ("bin-speed-sm", 512, 1, 40, 13, 15, 12, True, False),
+    ("bin-speed-forest", 1024, 1, 50, 140, 84, 12, True, False),
+    ("bin-speed-250", 1024, 1, 60, 250, 250, 12, True, False),
 ]
 
 
-def run_binned_case(name, K, M, T, H, W, B, fast_trig):
-    task, _, _, obs, unk, _, u_cur, noise = build_problem(
+def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig):
+    from mppi_numba_tpu.ops.packing import pack_risk_bytes
+
+    task, _, _, obs, unk, risk, u_cur, noise = build_problem(
         11, K, M, T, H, W, cliffs=not fast_trig)
     rng = np.random.RandomState(42)
     qbins = np.sort(rng.choice(101, size=B, replace=False)).astype(np.int8) \
@@ -98,16 +104,19 @@ def run_binned_case(name, K, M, T, H, W, B, fast_trig):
     ang_bins = rng.randint(0, B, (M, H, W))
     packed = pack_map_words(jnp.asarray(qbins[lin_bins]),
                             jnp.asarray(qbins[ang_bins]),
-                            jnp.asarray(obs), jnp.asarray(unk))
-    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+                            jnp.asarray(obs), jnp.asarray(unk),
+                            jnp.asarray(risk) if speed_map else None)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise,
+                                           speed_map=speed_map))
     v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange,
                                         task.wrange)
     got = np.asarray(terrain_rollout_costs_pallas_binned(
         pack_bin_nibbles(jnp.asarray(lin_bins), jnp.asarray(ang_bins)),
         pack_mask_nibbles(jnp.asarray(obs), jnp.asarray(unk)),
         build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins)),
-        build_task_vec(task), v_all, w_all, H=H, W=W, T=T,
-        fast_trig=fast_trig))
+        build_task_vec(task), v_all, w_all,
+        pack_risk_bytes(jnp.asarray(risk)) if speed_map else None,
+        H=H, W=W, T=T, fast_trig=fast_trig))
     return ref, got
 
 
@@ -137,15 +146,17 @@ def main():
               f"speed_map={int(speed_map)} fast_trig={int(fast_trig)} "
               f"max rel err {rel:.2e} (tol {tol:.0e})")
         assert rel <= tol, name
-    for name, K, M, T, H, W, B, fast_trig in BINNED_CASES:
-        ref, got = run_binned_case(name, K, M, T, H, W, B, fast_trig)
+    for name, K, M, T, H, W, B, speed_map, fast_trig in BINNED_CASES:
+        ref, got = run_binned_case(name, K, M, T, H, W, B, speed_map,
+                                   fast_trig)
         scale = np.maximum(np.abs(ref), 1.0)
         rel = float((np.abs(got - ref) / scale).max())
         worst = max(worst, rel)
         tol = 5e-3 if fast_trig else 1e-4
         status = "OK " if rel <= tol else "FAIL"
-        print(f"{status} {name:12s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
-              f"bins={B} fast_trig={int(fast_trig)} "
+        print(f"{status} {name:16s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
+              f"bins={B} speed_map={int(speed_map)} "
+              f"fast_trig={int(fast_trig)} "
               f"max rel err {rel:.2e} (tol {tol:.0e})")
         assert rel <= tol, name
     print(f"all cases pass; worst rel err {worst:.2e}")

@@ -26,6 +26,21 @@ def test_two_process_demo_end_to_end():
     assert "all 2 processes OK" in r.stdout
 
 
+def test_two_process_k_over_dcn_demo():
+    """Worst-case layout (SCALING.md): the k axis spans BOTH processes, so
+    the per-iteration pmin/psum collectives and the shard-local map-sample
+    all-gather all cross the inter-process fabric.  Results must still
+    match the single-device solver."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/multihost_launch.py"),
+         "--demo", "--mesh-axis", "k"],
+        cwd=REPO, capture_output=True, text=True, timeout=400,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "all 2 processes OK" in r.stdout
+
+
 def test_static_fingerprint_detects_mismatch():
     from mppi_numba_tpu.parallel.multihost import _static_fingerprint
     from mppi_numba_tpu.config import SolverStatic

@@ -102,9 +102,10 @@ def test_pallas_kernel_multichunk_map():
 
 # -- bin-packed kernel -------------------------------------------------------
 
-def build_binned_problem(seed=0, K=128, M=12, T=20, H=9, W=11, B=12):
+def build_binned_problem(seed=0, K=128, M=12, T=20, H=9, W=11, B=12,
+                         with_risk=False):
     """Bin-index maps + the equivalent byte-packed words for the oracle."""
-    task, _, _, obs, unk, _, u_cur, noise = build_problem(
+    task, _, _, obs, unk, risk, u_cur, noise = build_problem(
         seed=seed, K=K, M=M, T=T, H=H, W=W)
     rng = np.random.RandomState(seed + 100)
     qbins = np.sort(rng.choice(101, size=B, replace=False)).astype(np.int8)
@@ -113,10 +114,13 @@ def build_binned_problem(seed=0, K=128, M=12, T=20, H=9, W=11, B=12):
     lin_vals = qbins[lin_bins]
     ang_vals = qbins[ang_bins]
     packed = pack_map_words(jnp.asarray(lin_vals), jnp.asarray(ang_vals),
-                            jnp.asarray(obs), jnp.asarray(unk))
+                            jnp.asarray(obs), jnp.asarray(unk),
+                            jnp.asarray(risk) if with_risk else None)
     nib = pack_bin_nibbles(jnp.asarray(lin_bins), jnp.asarray(ang_bins))
     maskw = pack_mask_nibbles(jnp.asarray(obs), jnp.asarray(unk))
     lut = build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins))
+    if with_risk:
+        return task, packed, nib, maskw, lut, u_cur, noise, jnp.asarray(risk)
     return task, packed, nib, maskw, lut, u_cur, noise
 
 
@@ -132,6 +136,28 @@ def test_binned_kernel_matches_xla_rollout(shape):
     got = np.asarray(terrain_rollout_costs_pallas_binned(
         nib, maskw, lut, build_task_vec(task), v_all, w_all,
         H=H, W=W, T=18, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(9, 11),     # single chunk: direct gather
+                                   (40, 40),    # unrolled walks
+                                   (96, 92)])   # banded walks (18 chunks)
+def test_binned_kernel_speed_map_matches_xla(shape):
+    """Speed-map mode on the bin-packed kernel (round-3 item: the IROS-22
+    speed-map / costmap method's realistic-map fast path): the shared risk
+    plane must reproduce the XLA oracle's dt / (decoded risk) stage cost."""
+    from mppi_numba_tpu.ops.packing import pack_risk_bytes
+
+    H, W = shape
+    task, packed, nib, maskw, lut, u_cur, noise, risk = build_binned_problem(
+        seed=6, K=128, M=4, T=15, H=H, W=W, with_risk=True)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise,
+                                           speed_map=True))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    riskw = pack_risk_bytes(risk)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all, riskw,
+        H=H, W=W, T=15, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 

@@ -117,6 +117,36 @@ def test_map_sharded_dynamic_cvar_matches_single_device():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 4, 1), (1, 2, 2), (2, 2, 2)])
+def test_roi_sharded_solve_matches_single_device(mesh_shape):
+    """ROI cropping under k- and (k, m)-sharding: the most delicate
+    interaction in the codebase — dynamic window offsets x
+    counter-addressable draws x m-offsets x all-gather — must reproduce the
+    single-device ROI solve (which test_roi.py pins against the full-map
+    solve).  x0 sits near the map corner so the window clamps at the edge."""
+    import dataclasses
+
+    s, k, m = mesh_shape
+    S = s * 2
+    static, maps, task, u0, keys = build_case(S, H=20, W=20, cvar_numel=3)
+    # build_case's x0=(2, 2): a 9x9 window centered there clamps to the
+    # (0, 0) corner, exercising the offset-clip path.
+    static = dataclasses.replace(static, roi_shape=(9, 9))
+    mesh = make_mesh(s, k, devices=jax.devices()[:8], num_map_shards=m)
+    sharded = get_sharded_terrain_solver(static, mesh)
+    u_multi, costs_multi = sharded(keys, maps, task, u0)
+
+    single = get_terrain_solver(static)
+    for si in range(S):
+        maps_s = jax.tree.map(lambda x: x[si], maps)
+        task_s = jax.tree.map(lambda x: x[si], task)
+        u_single, aux = single(keys[si], maps_s, task_s, u0[si])
+        np.testing.assert_allclose(np.asarray(u_multi)[si],
+                                   np.asarray(u_single), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(costs_multi)[si],
+                                   np.asarray(aux.costs), rtol=2e-4, atol=2e-3)
+
+
 def test_sharded_solver_is_cached():
     static, maps, task, u0, keys = build_case(2)
     mesh = make_mesh(1, 8, devices=jax.devices()[:8])

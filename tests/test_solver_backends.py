@@ -1,0 +1,85 @@
+"""Full-solve backend parity on CPU via interpret-mode Pallas kernels.
+
+tests/test_pallas_kernel.py pins the KERNELS against the XLA rollout core;
+this file pins the SOLVER's backend wiring — bin/mask/risk packing, task-vec
+construction, ROI cropping, payload plumbing — by running the complete
+jitted solve (sampling → packing → rollout → CVaR → update) through each
+backend and comparing against the XLA semantics oracle.  The "<kernel>_interpret"
+backend suffix (solver.make_rollout_backend) makes this runnable without TPU
+hardware; scripts/tpu_parity_check.py repeats the kernel comparisons compiled
+on the real chip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mppi_numba_tpu.config import SolverStatic
+from mppi_numba_tpu.solver import get_terrain_solver
+from mppi_numba_tpu.types import MapInputs, TerrainTask
+
+K, T, H, W, B = 128, 12, 21, 30, 8
+
+
+def build(mode, roi):
+    M = 8 if mode == "tdm" else 1
+    rng = np.random.RandomState(3)
+    raw = rng.randint(1, 100, size=(B, H, W)).astype(float)
+    pmf = (raw / raw.sum(0) * 100).astype(np.int8)
+    pmf[-1] = 100 - pmf[:-1].sum(0)
+    qbins = np.sort(rng.choice(101, size=B, replace=False)).astype(np.int8)
+    maps = MapInputs(
+        lin_pmf=jnp.asarray(pmf), ang_pmf=jnp.asarray(pmf),
+        lin_qbins=jnp.asarray(qbins), ang_qbins=jnp.asarray(qbins),
+        obstacle=jnp.asarray((rng.rand(H, W) < 0.05).astype(np.int8)),
+        unknown=jnp.asarray((rng.rand(H, W) < 0.05).astype(np.int8)),
+        risk=jnp.asarray(rng.randint(20, 101, (H, W)).astype(np.int8)))
+    f32 = np.float32
+    task = TerrainTask(
+        x0=jnp.asarray(np.array([4.0, 3.0, 0.3], f32)),
+        xgoal=jnp.asarray(np.array([W * 0.6, H * 0.6], f32)),
+        goal_tolerance=f32(0.5), v_post_rollout=f32(0.01),
+        lambda_weight=f32(1.0),
+        u_std=jnp.asarray(np.array([1.0, 1.5], f32)),
+        vrange=jnp.asarray(np.array([0.0, 2.0], f32)),
+        wrange=jnp.asarray(np.array([-3.0, 3.0], f32)),
+        dt=f32(0.1), dist_weight=f32(1.0), obs_penalty=f32(1e4),
+        unknown_penalty=f32(1e2), alpha_dyn=f32(1.0), res=f32(1.0),
+        xlim0=f32(0.0), ylim0=f32(0.0), lin_lb=f32(0.0),
+        lin_ratio=f32(0.01), ang_lb=f32(0.0), ang_ratio=f32(0.01),
+        cvar_alpha=f32(1.0))
+
+    def static_for(backend):
+        return SolverStatic(
+            mode=mode, num_steps=T, num_control_rollouts=K,
+            num_grid_samples=M, map_shape=(H, W), num_obstacles=0,
+            cvar_numel=3 if M > 1 else 1, num_opt=1,
+            num_vis_state_rollouts=1, backend=backend, roi_shape=roi,
+            num_pmf_bins=B)
+
+    return maps, task, static_for
+
+
+@pytest.mark.parametrize("mode", ["tdm", "det_dyn", "speed_map"])
+@pytest.mark.parametrize("kernel", ["pallas", "pallas_binned"])
+@pytest.mark.parametrize("roi", [None, (15, 17)])
+def test_full_solve_backend_parity(mode, kernel, roi):
+    maps, task, static_for = build(mode, roi)
+    key = jax.random.PRNGKey(11)
+
+    def solve(backend):
+        fn = get_terrain_solver(static_for(backend))
+        return fn(key, maps, task, jnp.zeros((T, 2), jnp.float32))
+
+    u_ref, aux_ref = solve("xla")
+    u_got, aux_got = solve(kernel + "_interpret")
+    # Identical keys -> identical sampled maps and noise in both backends;
+    # rollout costs agree to float precision, the softmax update amplifies
+    # ~1e-6 cost deltas into ~1e-4 control deltas.
+    np.testing.assert_allclose(np.asarray(aux_got.costs),
+                               np.asarray(aux_ref.costs),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-4, atol=1e-3)
