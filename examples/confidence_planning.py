@@ -14,6 +14,12 @@ realization drawn from the ground-truth PMF grids.
 
 Usage:
     python examples/confidence_planning.py [conf_thres] [tdm_models_dir]
+    python examples/confidence_planning.py 0.3 --gif
+
+``--gif`` renders the closed-loop episode as an animated GIF
+(``examples/conf_thres=<t>_trained_nn.gif``) with per-step planned
+rollouts, matching the reference's committed media set
+(reference: example_gifs/conf_thres={0.0,0.3,0.6}_trained_nn.gif).
 
 With no real ``tdm_models`` directory available, a synthetic map with the
 same structure is generated so the script stays self-contained.
@@ -73,9 +79,77 @@ def synth_tdm(rows=60, cols=40, num_bins=12, seed=0):
     return info, info
 
 
+def render_gif(planner, gt_grid, cfg, params, pred, unknown, conf_thres,
+               x0, xgoal, xlimits, ylimits, max_steps=400, stride=2):
+    """Closed-loop episode -> animated GIF with per-step planned rollouts
+    (reference media parity: example_gifs/conf_thres=<t>_trained_nn.gif)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    from mppi_numba_tpu.sim import simulate_step
+
+    t0 = time.time()
+    frames = []
+    x = np.asarray(x0, dtype=float).copy()
+    xs = [x.copy()]
+    reached = False
+    for t in range(max_steps):
+        useq = planner.solve()
+        if t % stride == 0:
+            frames.append((np.array(xs), planner.get_state_rollout()))
+        lt, at = gt_grid.get(x[0], x[1])
+        x = simulate_step(x, useq[0], lt, at, cfg.dt)
+        xs.append(x.copy())
+        planner.shift_and_update(x, useq, 1)
+        if np.linalg.norm(x[:2] - xgoal) <= params["goal_tolerance"]:
+            reached = True
+            print("goal reached at t={:.2f}s".format((t + 1) * cfg.dt))
+            break
+    if not reached:
+        print("episode hit max_steps without reaching the goal")
+    frames.append((np.array(xs), planner.get_state_rollout()))
+    print("episode + rollout capture took {:.1f}s wall clock"
+          .format(time.time() - t0))
+
+    pred_mean = (np.asarray(pred["lin_pmf_grid"]) / 100.0
+                 * np.asarray(pred["bin_values"],
+                              dtype=float)[:, None, None]).sum(0)
+    extent = [xlimits[0], xlimits[1], ylimits[0], ylimits[1]]
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(pred_mean, origin="lower", extent=extent, cmap="gray",
+              alpha=0.8)
+    ax.imshow(np.ma.masked_where(unknown == 0, unknown), origin="lower",
+              extent=extent, cmap="autumn", alpha=0.5)
+    ax.plot(*x0[:2], "go", ms=9)
+    ax.plot(*xgoal, "r*", ms=14)
+    ax.add_patch(plt.Circle(tuple(xgoal), params["goal_tolerance"],
+                            color="r", fill=False))
+    ax.set_title("conf_thres={} (unfamiliar cells shaded)".format(conf_thres))
+    traj_line, = ax.plot([], [], "c-", lw=2)
+    roll_lines = [ax.plot([], [], "b", alpha=0.15, lw=1)[0]
+                  for _ in range(frames[0][1].shape[0])]
+
+    def update(i):
+        traj, rollouts = frames[i]
+        traj_line.set_data(traj[:, 0], traj[:, 1])
+        for line, states in zip(roll_lines, rollouts):
+            line.set_data(states[:, 0], states[:, 1])
+        return [traj_line] + roll_lines
+
+    anim = animation.FuncAnimation(fig, update, frames=len(frames),
+                                   interval=100, blit=True)
+    out = "examples/conf_thres={}_trained_nn.gif".format(conf_thres)
+    anim.save(out, writer=animation.PillowWriter(fps=10))
+    print("saved", out)
+
+
 def main():
-    conf_thres = float(sys.argv[1]) if len(sys.argv) > 1 else 0.3
-    models_dir = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_TDM_MODELS
+    args = [a for a in sys.argv[1:] if a != "--gif"]
+    make_gif = "--gif" in sys.argv[1:]
+    conf_thres = float(args[0]) if len(args) > 0 else 0.3
+    models_dir = args[1] if len(args) > 1 else DEFAULT_TDM_MODELS
 
     if os.path.isdir(models_dir):
         pred, gt = load_real_tdm(models_dir)
@@ -177,6 +251,11 @@ def main():
 
     planner = MPPIPlanner(cfg)
     planner.setup(params, lin_tdm, ang_tdm)
+
+    if make_gif:
+        render_gif(planner, gt_grid, cfg, params, pred, unknown, conf_thres,
+                   x0, xgoal, xlimits, ylimits)
+        return
 
     t0 = time.time()
     logger = trial(planner, gt_grid, cfg.dt, max_steps=400,

@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build(envs, trials, methods, alphas, max_steps, host, small=False):
+def build(envs, trials, methods, alphas, max_steps, host, small=False,
+          densities=(1.0, 0.4)):
     import mppi_numba_tpu as m
     from mppi_numba_tpu.benchmark import run_trials, run_trials_device
 
@@ -49,7 +50,7 @@ def build(envs, trials, methods, alphas, max_steps, host, small=False):
     params["u_std"] = np.array([2.0, 2.0])
     fn = run_trials if host else run_trials_device
     return fn(cfg, world, max_steps, (9, 9), 1, 1.0, params,
-              grass_density_list=[1.0, 0.4], envs_per_density=envs,
+              grass_density_list=list(densities), envs_per_density=envs,
               trials_per_env=trials, alpha_list=alphas,
               method_list=methods, verbose=False)
 

@@ -132,7 +132,8 @@ def test_roi_sharded_solve_matches_single_device(mesh_shape):
     # build_case's x0=(2, 2): a 9x9 window centered there clamps to the
     # (0, 0) corner, exercising the offset-clip path.
     static = dataclasses.replace(static, roi_shape=(9, 9))
-    mesh = make_mesh(s, k, devices=jax.devices()[:8], num_map_shards=m)
+    mesh = make_mesh(s, k, devices=jax.devices()[:s * k * m],
+                     num_map_shards=(m if m > 1 else None))
     sharded = get_sharded_terrain_solver(static, mesh)
     u_multi, costs_multi = sharded(keys, maps, task, u0)
 
