@@ -45,6 +45,27 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
+def _run_time_loop(T, step, init, t_unroll):
+    """Run the horizon loop, processing ``t_unroll`` steps per fori_loop
+    iteration (static remainder tail).  Semantics-identical to a plain
+    ``fori_loop(0, T, step, init)`` for any ``t_unroll``; amortizes Mosaic
+    loop overhead and exposes cross-step ILP to the scheduler."""
+    if t_unroll <= 1:
+        return jax.lax.fori_loop(0, T, step, init)
+
+    def body(i, carry):
+        t0 = i * t_unroll
+        for j in range(t_unroll):
+            carry = step(t0 + j, carry)
+        return carry
+
+    n_main = T // t_unroll
+    carry = jax.lax.fori_loop(0, n_main, body, init)
+    for t in range(n_main * t_unroll, T):
+        carry = step(t, carry)
+    return carry
+
+
 def pallas_rollout_supported(num_grid_samples, map_hw, num_steps=128,
                              vmem_budget=VMEM_BUDGET):
     """Whether the fused kernel fits: chunked map + state tiles in VMEM.
@@ -64,7 +85,8 @@ def pallas_rollout_supported(num_grid_samples, map_hw, num_steps=128,
 
 
 def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
-                    *, T, H, W, n_chunks, speed_map, fast_trig, step_fn):
+                    *, T, H, W, n_chunks, speed_map, fast_trig, step_fn,
+                    t_unroll=1):
     f32 = jnp.float32
     # Task scalars live in row 0 of an (8, 128) VMEM tile — 2D so the kernel
     # batches cleanly under vmap (device-resident episode batches).
@@ -172,16 +194,18 @@ def _rollout_kernel(task_ref, chunks_ref, v_ref, w_ref, cost_ref,
     init = (jnp.full(shape, x0x, f32), jnp.full(shape, x0y, f32),
             hd0, jnp.zeros(shape, f32),
             jnp.full(shape, 1e9, f32), jnp.zeros(shape, f32))
-    x, y, hd, cost, dist2, reachedf = jax.lax.fori_loop(0, T, step, init)
+    x, y, hd, cost, dist2, reachedf = _run_time_loop(T, step, init, t_unroll)
     cost_ref[:] = cost + (1.0 - reachedf) * jnp.sqrt(dist2) / (v_post + 1e-6)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "T", "speed_map", "fast_trig",
-                                    "interpret", "m_tile", "step_fn"))
+                                    "interpret", "m_tile", "step_fn",
+                                    "t_unroll"))
 def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
                                  *, H, W, T, speed_map=False, fast_trig=False,
-                                 interpret=False, m_tile=None, step_fn=None):
+                                 interpret=False, m_tile=None, step_fn=None,
+                                 t_unroll=1):
     """Fused rollout on TPU.
 
     Args:
@@ -216,7 +240,8 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
     grid = (m_pad // m_tile, K // LANES)
     kernel = functools.partial(_rollout_kernel, T=T, H=H, W=W,
                                n_chunks=n_chunks, speed_map=speed_map,
-                               fast_trig=fast_trig, step_fn=step_fn)
+                               fast_trig=fast_trig, step_fn=step_fn,
+                               t_unroll=t_unroll)
     costs_mk = pl.pallas_call(
         kernel,
         grid=grid,
@@ -286,7 +311,7 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
 
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                            n_cell_chunks, n_mask_chunks, fast_trig, step_fn,
-                           banded, speed_map):
+                           banded, speed_map, t_unroll=1):
     if speed_map:
         risk_ref, lut_ref, v_ref, w_ref, cost_ref = refs
     else:
@@ -304,7 +329,6 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     inv_res = task_ref[0, 11]
     xlim0, ylim0 = task_ref[0, 12], task_ref[0, 13]
     lin_lb, lin_ratio = task_ref[0, 14], task_ref[0, 15]
-    max_cells_per_step = task_ref[0, 18]
     tol2 = tol * tol
 
     m_tile = cost_ref.shape[0]
@@ -317,17 +341,6 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     def risk_tile(c):
         return jnp.broadcast_to(risk_ref[c], shape)
 
-    # Reachability-banded chunk walk: every rollout starts at x0 and moves
-    # at most ``max_cells_per_step`` cells per step, so at step t the
-    # visited ROW-MAJOR cell ids all lie in a contiguous band around x0's
-    # row.  The walk loops ONLY over the chunks intersecting that band
-    # (dynamic fori_loop bounds, register accumulation, dynamic major-dim
-    # ref indexing) — on an 85x84 ROI over a T=100 horizon the average
-    # band is ~55% of the full walk.  2 rows of margin absorb floor/clip
-    # boundary wobble; the bound itself is the same invariant the ROI crop
-    # relies on (per-step displacement <= dt * lin_traction * |v|).
-    y0row = jnp.clip(jnp.floor((x0y - ylim0) * inv_res), 0.0, H - 1.0)
-
     def unrolled_walk(cell, table_at, cells_per_chunk, idx_shift, n_data):
         words = jnp.zeros(shape, jnp.int32)
         for c in range(n_data):
@@ -339,14 +352,19 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             words = jnp.where(inb, g, words)
         return words
 
-    def banded_walk(t, cell, table3, cells_per_chunk, idx_shift, n_data,
-                    unroll=4):
-        reach = t.astype(f32) * max_cells_per_step + 2.0
-        lo_row = jnp.maximum(y0row - reach, 0.0)
-        hi_row = jnp.minimum(y0row + reach, jnp.float32(H - 1))
-        c_lo = (lo_row * W).astype(jnp.int32) // cells_per_chunk
-        c_hi = jnp.minimum(((hi_row + 1.0) * W).astype(jnp.int32)
-                           // cells_per_chunk + 1, n_data)
+    # Exact-occupancy-banded chunk walk: the cell ids visited at step t are
+    # known EXACTLY at step t (``cell`` is already computed), so a scalar
+    # min/max reduction over the (m_tile, LANES) tile gives the precise
+    # contiguous chunk range the walk must cover — always a subset of the
+    # reachability cone (round-2's band grew as t*max_cells_per_step around
+    # x0's row and averaged ~36% of the 250x250 walk; the occupancy band is
+    # tight by construction and needs NO displacement-bound assumption, so
+    # it is correct for arbitrary registered dynamics models).  The two
+    # reductions per step are shared by the nibble / mask / risk walks.
+    def banded_walk(cell_lo, cell_hi, cell, table3, cells_per_chunk,
+                    idx_shift, n_data, unroll=4):
+        c_lo = cell_lo // cells_per_chunk
+        c_hi = cell_hi // cells_per_chunk + 1
 
         def one(c, words):
             tab = table3[c]
@@ -364,8 +382,10 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         # overhead + serialized dynamic-major-dim loads.  Processing
         # ``unroll`` chunks per iteration amortizes the overhead and gives
         # Mosaic ILP across the gathers.  Chunks past c_hi are processed
-        # clamped-and-masked: cells in the band have local < 0 there, so
-        # they contribute zero — correctness does not depend on the bound.
+        # clamped-and-masked: cells past the band have local < 0 there, so
+        # they contribute zero — correctness does not depend on the bounds
+        # being tight, only on them covering [min cell, max cell], which
+        # they do by construction.
         def body(i, words):
             base = c_lo + i * unroll
             for j in range(unroll):
@@ -376,6 +396,10 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         return jax.lax.fori_loop(0, n_iters, body,
                                  jnp.zeros(shape, jnp.int32))
 
+    n_mask_data = min(n_mask_chunks, -(-(H * W) // MASK_CELLS_PER_CHUNK))
+    use_band = banded and (n_cell_chunks > MAX_UNROLLED_CHUNKS
+                           or n_mask_data > MAX_UNROLLED_CHUNKS)
+
     def step(t, carry):
         x, y, hd, cost, dist2, reachedf = carry
         v_t = v_ref[t, :].reshape(1, LANES)
@@ -384,6 +408,8 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         xi = jnp.clip(jnp.floor((x - xlim0) * inv_res).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(jnp.floor((y - ylim0) * inv_res).astype(jnp.int32), 0, H - 1)
         cell = yi * W + xi
+        if use_band:
+            cell_lo, cell_hi = jnp.min(cell), jnp.max(cell)
 
         if n_cell_chunks == 1:
             words = jnp.take_along_axis(nib_ref[0], cell >> 2, axis=1,
@@ -392,15 +418,14 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             words = unrolled_walk(cell, lambda c: nib_ref[c],
                                   NIB_CELLS_PER_CHUNK, 2, n_cell_chunks)
         else:
-            words = banded_walk(t, cell, nib_ref, NIB_CELLS_PER_CHUNK, 2,
-                                n_cell_chunks)
+            words = banded_walk(cell_lo, cell_hi, cell, nib_ref,
+                                NIB_CELLS_PER_CHUNK, 2, n_cell_chunks)
         byte = words >> ((cell & 3) << 3)
         lin_tr = jnp.take_along_axis(lut_lin, byte & 0xF, axis=1,
                                      mode="promise_in_bounds")
         ang_tr = jnp.take_along_axis(lut_ang, (byte >> 4) & 0xF, axis=1,
                                      mode="promise_in_bounds")
 
-        n_mask_data = min(n_mask_chunks, -(-(H * W) // MASK_CELLS_PER_CHUNK))
         if n_mask_data <= 1:
             mwords = jnp.take_along_axis(mask_tile(0), cell >> 4, axis=1,
                                          mode="promise_in_bounds")
@@ -408,8 +433,8 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             mwords = unrolled_walk(cell, mask_tile, MASK_CELLS_PER_CHUNK, 4,
                                    n_mask_data)
         else:
-            mwords = banded_walk(t, cell, mask_ref, MASK_CELLS_PER_CHUNK, 4,
-                                 n_mask_data)
+            mwords = banded_walk(cell_lo, cell_hi, cell, mask_ref,
+                                 MASK_CELLS_PER_CHUNK, 4, n_mask_data)
         mcode = mwords >> ((cell & 15) << 1)
         obs = (mcode & 1).astype(f32)
         unk = ((mcode >> 1) & 1).astype(f32)
@@ -426,8 +451,8 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                 rwords = unrolled_walk(cell, risk_tile, NIB_CELLS_PER_CHUNK,
                                        2, n_cell_chunks)
             else:
-                rwords = banded_walk(t, cell, risk_ref, NIB_CELLS_PER_CHUNK,
-                                     2, n_cell_chunks)
+                rwords = banded_walk(cell_lo, cell_hi, cell, risk_ref,
+                                     NIB_CELLS_PER_CHUNK, 2, n_cell_chunks)
             rbyte = ((rwords >> ((cell & 3) << 3)) & 0xFF).astype(f32)
             eff = lin_lb + lin_ratio * rbyte
             dt_eff = dt / (eff + 1e-6)
@@ -467,19 +492,20 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     init = (jnp.full(shape, x0x, f32), jnp.full(shape, x0y, f32),
             hd0, jnp.zeros(shape, f32),
             jnp.full(shape, 1e9, f32), jnp.zeros(shape, f32))
-    x, y, hd, cost, dist2, reachedf = jax.lax.fori_loop(0, T, step, init)
+    x, y, hd, cost, dist2, reachedf = _run_time_loop(T, step, init, t_unroll)
     cost_ref[:] = cost + (1.0 - reachedf) * jnp.sqrt(dist2) / (v_post + 1e-6)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "T", "fast_trig", "interpret",
-                                    "m_tile", "step_fn", "banded"))
+                                    "m_tile", "step_fn", "banded",
+                                    "t_unroll"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, risk_words=None,
                                         *, H, W, T,
                                         fast_trig=False, interpret=False,
                                         m_tile=None, step_fn=None,
-                                        banded=True):
+                                        banded=True, t_unroll=1):
     """Fused rollout with 4-bit bin-index maps.
 
     Args:
@@ -528,7 +554,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                n_cell_chunks=n_cell_chunks,
                                n_mask_chunks=n_mask_chunks,
                                fast_trig=fast_trig, step_fn=step_fn,
-                               banded=banded, speed_map=speed_map)
+                               banded=banded, speed_map=speed_map,
+                               t_unroll=t_unroll)
     in_specs = [
         pl.BlockSpec((8, LANES), lambda mi, ki: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -579,9 +606,10 @@ def build_bin_luts(task, lin_qbins, ang_qbins):
 
 def build_task_vec(task):
     """Pack the TerrainTask scalars the kernel needs into an (8, 128) tile."""
-    # Index 18: upper bound on per-step cell displacement, for the binned
-    # kernel's reachability-gated chunk walk (max |v| * max decoded linear
-    # traction * dt / res).
+    # Index 18: upper bound on per-step cell displacement.  The kernel's
+    # banded walk no longer reads it (the exact-occupancy band needs no
+    # displacement bound); kept for tile-layout stability — the same bound
+    # still gates ROI sizing on the host (mppi.py::MPPIPlanner._roi_shape).
     vmax = jnp.maximum(jnp.abs(task.vrange[0]), jnp.abs(task.vrange[1]))
     tr_ub = task.lin_lb + task.lin_ratio * 100.0
     max_cells_per_step = vmax * tr_ub * task.dt / task.res

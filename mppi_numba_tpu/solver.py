@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverStatic
-from .models import clip_controls, get_step_fn, has_displacement_bound
+from .models import clip_controls, get_step_fn
 from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 
 # Sentinel for SolverStatic.cvar_numel: read the traced task.cvar_alpha
@@ -179,11 +179,7 @@ def make_rollout_backend(static: SolverStatic):
             costs_km = terrain_rollout_costs_pallas_binned(
                 nib, maskw, lut, build_task_vec(task), v_all, w_all, riskw,
                 H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn,
-                interpret=interpret,
-                # The reachability band assumes per-step translation
-                # <= dt * lin_traction * |v|; models without that declared
-                # bound walk every chunk instead (correct, just slower).
-                banded=has_displacement_bound(static.model))
+                interpret=interpret)
             return costs_km[:k]
         return terrain_rollout_costs(payload, task, u, noise,
                                      speed_map=speed_map, step_fn=step_fn)

@@ -12,11 +12,14 @@ cost itself:
    per-(chunk . step . program) slope IS the measured gather+select cost,
    and the intercept is the per-step non-walk work (dynamics, LUT decodes,
    mask walk, cost math).
-2. Predict banded-walk scenarios from that slope: the band covers
-   avg_chunks(t) = f(max_cells_per_step, T, H) chunks per step; predicted
-   time = intercept + slope * avg_chunks.  Achieved / predicted quantifies
-   the banded dynamic-loop overhead; predicted / achieved-at-unrolled
-   bounds what a perfect walk could still win.
+2. Predict banded-walk scenarios from that slope: the reachability cone
+   covers avg_chunks(t) = f(max_cells_per_step, T, H) chunks per step;
+   predicted time = intercept + slope * avg_chunks.  Since round 3 the
+   kernel walks the EXACT per-step occupancy band (min/max reduction of
+   the visited cells), which is a subset of the cone — so the prediction
+   is an upper bound on the walk work, and achieved/predicted < 1 means
+   the exact band beats the cone model by more than the dynamic-loop
+   overhead costs.
 
 Run on the real TPU, no other TPU process:
     python scripts/roofline_check.py
@@ -108,7 +111,8 @@ def measure(H, W, banded, n=20):
 
 
 def avg_band_chunks(H, W, n_chunks):
-    """Average chunks/step the reachability band walks (kernel's formula)."""
+    """Average chunks/step of the round-2 reachability cone — an upper
+    bound on the exact occupancy band the kernel walks since round 3."""
     mcps = VMAX * 1.0 * 0.1 / RES      # max decoded traction = 1.0
     cpc = NIB_CELLS_PER_CHUNK
     tot = 0.0

@@ -180,12 +180,15 @@ def test_binned_kernel_banded_walk_path():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
-def test_banded_walk_disabled_for_unbounded_models():
-    """A custom model whose translation exceeds dt*lin_tr*|v| would escape
-    the reachability band; with banded=False (what the solver passes for
-    models without the declared bound) the kernel must walk every chunk
-    and match the oracle (round-2 review finding: the banded walk returned
-    zero words for out-of-band steps, max cost error ~1e4)."""
+@pytest.mark.parametrize("banded", [True, False])
+def test_banded_walk_exact_for_unbounded_models(banded):
+    """A custom model whose translation exceeds dt*lin_tr*|v| escaped
+    round 2's reachability band (which assumed per-step displacement
+    <= dt*lin_tr*|v| around x0's row).  The round-3 exact-occupancy band
+    derives the chunk range from a min/max reduction of the ACTUAL visited
+    cells each step, so banded=True is correct for arbitrary dynamics —
+    including this 10x teleporting model — as is the banded=False
+    walk-everything escape hatch."""
     def warp_step(x, y, th, v, w, lin_tr, ang_tr, dt):
         return (x + dt * 10.0 * v * jnp.cos(th),
                 y + dt * 10.0 * v * jnp.sin(th), th + dt * w)
@@ -198,11 +201,11 @@ def test_banded_walk_disabled_for_unbounded_models():
     v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
     got = np.asarray(terrain_rollout_costs_pallas_binned(
         nib, maskw, lut, build_task_vec(task), v_all, w_all,
-        H=H, W=W, T=10, interpret=True, step_fn=warp_step, banded=False))
+        H=H, W=W, T=10, interpret=True, step_fn=warp_step, banded=banded))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
-    # And the solver-level guard: an unregistered-bound model resolves to a
-    # non-banded rollout even through the shared backend factory.
+    # The displacement-bound registry still gates ROI sizing on the host
+    # (mppi.py::_roi_shape); unregistered models must report no bound.
     from mppi_numba_tpu.models import has_displacement_bound
     assert not has_displacement_bound("definitely-not-registered")
 
@@ -311,3 +314,33 @@ def test_maclaurin_rotation_error_bound():
     small = np.abs(dth) <= 0.315
     assert np.max(np.abs(cd[small] - np.cos(dth[small]))) < 2e-6
     assert np.max(np.abs(sd[small] - np.sin(dth[small]))) < 1e-7
+
+
+@pytest.mark.parametrize("t_unroll", [2, 4, 7])
+def test_time_loop_unroll_matches_oracle(t_unroll):
+    """``t_unroll`` processes several horizon steps per fori_loop iteration
+    (with a static remainder tail: T=18 is not divisible by 4 or 7); it is
+    a pure scheduling knob and must be bit-equivalent on both kernels."""
+    # Byte-packed kernel.
+    task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(T=18)
+    H, W = lin.shape[1:]
+    packed = pack_map_words(jnp.asarray(lin), jnp.asarray(ang),
+                            jnp.asarray(obs), jnp.asarray(unk), None)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas(
+        packed, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=18, interpret=True, t_unroll=t_unroll))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+    # Bin-packed kernel, banded regime (exact-occupancy band inside the
+    # unrolled body).
+    H, W = 96, 92
+    task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+        seed=21, K=128, M=8, T=18, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=18, interpret=True, t_unroll=t_unroll))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
