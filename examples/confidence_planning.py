@@ -79,49 +79,56 @@ def synth_tdm(rows=60, cols=40, num_bins=12, seed=0):
     return info, info
 
 
+def _pred_mean_extent(pred, xlimits, ylimits):
+    """Mean predicted linear traction + imshow extent (shared by the GIF
+    and the static figure)."""
+    pred_mean = (np.asarray(pred["lin_pmf_grid"]) / 100.0
+                 * np.asarray(pred["bin_values"],
+                              dtype=float)[:, None, None]).sum(0)
+    return pred_mean, [xlimits[0], xlimits[1], ylimits[0], ylimits[1]]
+
+
+def _draw_unknown_overlay(ax, pred_mean, unknown, extent):
+    """Gray traction background with the unfamiliar-cell mask shaded."""
+    ax.imshow(pred_mean, origin="lower", extent=extent, cmap="gray",
+              alpha=0.8)
+    ax.imshow(np.ma.masked_where(unknown == 0, unknown), origin="lower",
+              extent=extent, cmap="autumn", alpha=0.5)
+
+
 def render_gif(planner, gt_grid, cfg, params, pred, unknown, conf_thres,
                x0, xgoal, xlimits, ylimits, max_steps=400, stride=2):
     """Closed-loop episode -> animated GIF with per-step planned rollouts
-    (reference media parity: example_gifs/conf_thres=<t>_trained_nn.gif)."""
+    (reference media parity: example_gifs/conf_thres=<t>_trained_nn.gif).
+    The episode itself runs through ``sim.trial`` (the benchmarked
+    sequencing) via its observational ``on_step`` hook."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib import animation
 
-    from mppi_numba_tpu.sim import simulate_step
-
     t0 = time.time()
     frames = []
-    x = np.asarray(x0, dtype=float).copy()
-    xs = [x.copy()]
-    reached = False
-    for t in range(max_steps):
-        useq = planner.solve()
+
+    def capture(t, xhist_prefix):
         if t % stride == 0:
-            frames.append((np.array(xs), planner.get_state_rollout()))
-        lt, at = gt_grid.get(x[0], x[1])
-        x = simulate_step(x, useq[0], lt, at, cfg.dt)
-        xs.append(x.copy())
-        planner.shift_and_update(x, useq, 1)
-        if np.linalg.norm(x[:2] - xgoal) <= params["goal_tolerance"]:
-            reached = True
-            print("goal reached at t={:.2f}s".format((t + 1) * cfg.dt))
-            break
-    if not reached:
+            frames.append((xhist_prefix.copy(), planner.get_state_rollout()))
+
+    logger = trial(planner, gt_grid, cfg.dt, max_steps=max_steps,
+                   mppi_params=params, return_history=True, on_step=capture)
+    xhist = logger["xhist"]
+    xhist = xhist[~np.isnan(xhist[:, 0])]
+    if logger["success"]:
+        print("goal reached at t={:.2f}s".format(logger["time_to_goal"]))
+    else:
         print("episode hit max_steps without reaching the goal")
-    frames.append((np.array(xs), planner.get_state_rollout()))
+    frames.append((xhist, planner.get_state_rollout()))
     print("episode + rollout capture took {:.1f}s wall clock"
           .format(time.time() - t0))
 
-    pred_mean = (np.asarray(pred["lin_pmf_grid"]) / 100.0
-                 * np.asarray(pred["bin_values"],
-                              dtype=float)[:, None, None]).sum(0)
-    extent = [xlimits[0], xlimits[1], ylimits[0], ylimits[1]]
+    pred_mean, extent = _pred_mean_extent(pred, xlimits, ylimits)
     fig, ax = plt.subplots(figsize=(8, 6))
-    ax.imshow(pred_mean, origin="lower", extent=extent, cmap="gray",
-              alpha=0.8)
-    ax.imshow(np.ma.masked_where(unknown == 0, unknown), origin="lower",
-              extent=extent, cmap="autumn", alpha=0.5)
+    _draw_unknown_overlay(ax, pred_mean, unknown, extent)
     ax.plot(*x0[:2], "go", ms=9)
     ax.plot(*xgoal, "r*", ms=14)
     ax.add_patch(plt.Circle(tuple(xgoal), params["goal_tolerance"],
@@ -275,25 +282,17 @@ def main():
         import matplotlib.pyplot as plt
     except Exception:
         return
-    pred_mean = (np.asarray(pred["lin_pmf_grid"]) / 100.0
-                 * np.asarray(pred["bin_values"],
-                              dtype=float)[:, None, None]).sum(0)
-    extent = [xlimits[0], xlimits[1], ylimits[0], ylimits[1]]
+    pred_mean, extent = _pred_mean_extent(pred, xlimits, ylimits)
     fig, axes = plt.subplots(1, 2, figsize=(11, 6))
-    for ax, img, title, cmap in (
-            (axes[0], pred_mean, "predicted mean linear traction",
-             "viridis"),
-            (axes[1], np.ma.masked_where(unknown == 0, unknown),
-             "unknown (confidence < {})".format(conf_thres), "autumn")):
-        if title.startswith("unknown"):
-            ax.imshow(pred_mean, origin="lower", extent=extent,
-                      cmap="gray", alpha=0.7)
-        im = ax.imshow(img, origin="lower", extent=extent, cmap=cmap,
-                       alpha=0.9)
+    im = axes[0].imshow(pred_mean, origin="lower", extent=extent,
+                        cmap="viridis", alpha=0.9)
+    axes[0].set_title("predicted mean linear traction")
+    _draw_unknown_overlay(axes[1], pred_mean, unknown, extent)
+    axes[1].set_title("unknown (confidence < {})".format(conf_thres))
+    for ax in axes:
         ax.plot(xhist[:, 0], xhist[:, 1], "c-", lw=2, label="trajectory")
         ax.plot(*x0[:2], "go", ms=9, label="start")
         ax.plot(*xgoal, "r*", ms=14, label="goal")
-        ax.set_title(title)
         ax.legend(loc="lower right", fontsize=8)
     fig.colorbar(im, ax=axes[1], shrink=0.7)
     out = "examples/confidence_planning.png"

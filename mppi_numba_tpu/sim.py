@@ -22,11 +22,16 @@ def simulate_step(x, u, lin_traction, ang_traction, dt):
 
 
 def trial(mppi_planner, traction_grid, dt, max_steps, mppi_params,
-          return_history=False, **_unused):
+          return_history=False, on_step=None, **_unused):
     """One closed-loop episode; returns the reference's trial-metric dict:
     time_to_goal, success, dist_to_goal, cum_dist_to_goal, avg_dist_to_goal,
     cum_obj.  With ``return_history`` the dict additionally carries ``xhist``
-    ``(steps+1, 3)`` and ``uhist`` ``(steps, 2)`` for plotting."""
+    ``(steps+1, 3)`` and ``uhist`` ``(steps, 2)`` for plotting.
+
+    ``on_step(t, xhist_prefix)`` is an optional observational hook called
+    after each solve but before the simulation step (``xhist_prefix`` holds
+    states 0..t) — used by media scripts to capture per-step planner
+    rollouts without re-implementing this episode loop."""
     xhist = np.full((max_steps + 1, 3), np.nan)
     uhist = np.full((max_steps, 2), np.nan)
     xhist[0] = mppi_params["x0"]
@@ -38,6 +43,8 @@ def trial(mppi_planner, traction_grid, dt, max_steps, mppi_params,
 
     for t in range(max_steps):
         useq = mppi_planner.solve()
+        if on_step is not None:
+            on_step(t, xhist[:t + 1])
         u_curr = useq[0]
         uhist[t] = u_curr
 

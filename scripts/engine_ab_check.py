@@ -87,14 +87,21 @@ def main():
         sub = merged[merged.method == meth]
         sh = float(sub.success_host.mean())
         sd = float(sub.success_dev.mean())
-        th = float(sub[sub.success_host].time_to_goal_host.mean())
-        td = float(sub[sub.success_dev].time_to_goal_dev.mean())
+        # Guard the success-conditioned means: a hard config can yield zero
+        # successes for one engine; emit null rather than NaN (NaN is not
+        # valid strict JSON and poisons the deltas silently).
+        th = (float(sub[sub.success_host].time_to_goal_host.mean())
+              if sub.success_host.any() else None)
+        td = (float(sub[sub.success_dev].time_to_goal_dev.mean())
+              if sub.success_dev.any() else None)
         agree = float((sub.success_host == sub.success_dev).mean())
         out[meth] = dict(
             success_host=round(sh, 4), success_dev=round(sd, 4),
             success_delta=round(sd - sh, 4),
-            ttg_host_s=round(th, 3), ttg_dev_s=round(td, 3),
-            ttg_delta_s=round(td - th, 3),
+            ttg_host_s=None if th is None else round(th, 3),
+            ttg_dev_s=None if td is None else round(td, 3),
+            ttg_delta_s=(None if th is None or td is None
+                         else round(td - th, 3)),
             paired_outcome_agreement=round(agree, 4))
     print(json.dumps(out, indent=1))
 

@@ -151,11 +151,19 @@ def main():
                       "fit_intercept_ns_per_step_program":
                           round(intercept, 1)}), flush=True)
 
-    # 2. Banded scenarios: achieved vs slope-predicted.
+    # 2. Banded scenarios: achieved vs slope-predicted.  The ladder fit is
+    # at m_tile=256; per-program walk/elementwise work scales ~linearly
+    # with the sublane tile, so scale the per-program-step cost by
+    # m_tile/256 when a VMEM-constrained shape runs a smaller tile
+    # (round-3 review fix: the unscaled prediction over-counted the
+    # m_tile=64 250x250 config 4x and made overhead_x read as 0.48).
+    # The scaled bound is optimistic (fixed per-program overhead does NOT
+    # shrink with m_tile), so overhead_x is an upper bound on real slack.
     for H, W in ((140, 84), (250, 250)):
         ms, c, progs, m_tile = measure(H, W, banded=True)
         avg_c = avg_band_chunks(H, W, c)
-        pred = (intercept + slope * avg_c) * progs * T / 1e6
+        pred = ((intercept + slope * avg_c) * (m_tile / 256.0)
+                * progs * T / 1e6)
         print(json.dumps({
             "shape": [H, W], "chunks_total": c,
             "avg_band_chunks": round(avg_c, 1), "programs": progs,

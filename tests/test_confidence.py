@@ -126,3 +126,18 @@ def test_trial_return_history():
     assert np.isfinite(log["xhist"]).all()
     # History starts at x0 and ends near the goal on success.
     np.testing.assert_allclose(log["xhist"][0], params["x0"])
+
+    # Observational on_step hook (used by the GIF renderer to reuse this
+    # exact episode loop): called once per solve with the state prefix
+    # 0..t, before the simulation step mutates anything.
+    calls = []
+    p2 = MPPIPlanner(cfg)
+    p2.setup(params, lin, ang)
+    log2 = trial(p2, gt, cfg.dt, 30, params, return_history=True,
+                 on_step=lambda t, xs: calls.append((t, xs.shape, xs[0].copy())))
+    steps2 = (int(round(log2["time_to_goal"] / cfg.dt))
+              if log2["success"] else 30)
+    assert len(calls) == steps2
+    assert [c[0] for c in calls] == list(range(steps2))
+    assert all(c[1] == (t + 1, 3) for t, c in enumerate(calls))
+    np.testing.assert_allclose(calls[0][2], params["x0"])
