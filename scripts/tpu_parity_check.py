@@ -92,7 +92,8 @@ BINNED_CASES = [
 ]
 
 
-def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig):
+def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig,
+                    t_unroll=1):
     from mppi_numba_tpu.ops.packing import pack_risk_bytes
 
     task, _, _, obs, unk, risk, u_cur, noise = build_problem(
@@ -116,7 +117,7 @@ def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig):
         build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins)),
         build_task_vec(task), v_all, w_all,
         pack_risk_bytes(jnp.asarray(risk)) if speed_map else None,
-        H=H, W=W, T=T, fast_trig=fast_trig))
+        H=H, W=W, T=T, fast_trig=fast_trig, t_unroll=t_unroll))
     return ref, got
 
 
@@ -159,6 +160,35 @@ def main():
               f"fast_trig={int(fast_trig)} "
               f"max rel err {rel:.2e} (tol {tol:.0e})")
         assert rel <= tol, name
+    # Horizon-loop unrolling must be semantics-identical on hardware for
+    # every T % t_unroll (static remainder tail); exercised on the banded
+    # 140x84 regime and a byte-kernel case.
+    for tu in (2, 4, 7):
+        ref, got = run_binned_case("bin-forest", 512, 256, 50, 140, 84, 12,
+                                   False, False, t_unroll=tu)
+        rel = float((np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)).max())
+        worst = max(worst, rel)
+        status = "OK " if rel <= 1e-4 else "FAIL"
+        print(f"{status} bin-forest t_unroll={tu} max rel err {rel:.2e} "
+              f"(tol 1e-04)")
+        assert rel <= 1e-4, f"t_unroll={tu}"
+    task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(
+        7, 1024, 256, 50, 11, 11, cliffs=True)
+    packed = pack_map_words(jnp.asarray(lin), jnp.asarray(ang),
+                            jnp.asarray(obs), jnp.asarray(unk), None)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange,
+                                        task.wrange)
+    for tu in (2, 5):
+        got = np.asarray(terrain_rollout_costs_pallas(
+            packed, build_task_vec(task), v_all, w_all, H=11, W=11, T=50,
+            t_unroll=tu))
+        rel = float((np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)).max())
+        worst = max(worst, rel)
+        status = "OK " if rel <= 1e-4 else "FAIL"
+        print(f"{status} byte t_unroll={tu} max rel err {rel:.2e} "
+              f"(tol 1e-04)")
+        assert rel <= 1e-4, f"byte t_unroll={tu}"
     print(f"all cases pass; worst rel err {worst:.2e}")
 
 
