@@ -40,6 +40,12 @@ LANES = 128          # k-tile width (hardware lane count)
 MAX_M_TILE = 256
 VMEM_BUDGET = 12 * 1024 * 1024  # conservative slice of ~16 MB/core
 
+# Default horizon-loop unrolling per kernel (steps per fori_loop iteration;
+# semantics-identical for any value — see _run_time_loop).  Placeholder 1
+# until the on-device sweep (scripts/tunroll_probe.py) picks winners.
+DEFAULT_T_UNROLL_BYTE = 1
+DEFAULT_T_UNROLL_BINNED = 1
+
 
 def _ceil_to(x, m):
     return -(-x // m) * m

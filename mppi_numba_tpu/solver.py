@@ -28,7 +28,9 @@ from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 DYNAMIC_CVAR = -1
 from .ops.packing import (pack_bin_nibbles, pack_map_words,
                           pack_mask_nibbles, pack_risk_bytes)
-from .ops.pallas.rollout_kernel import (LANES, build_bin_luts, build_task_vec,
+from .ops.pallas.rollout_kernel import (DEFAULT_T_UNROLL_BINNED,
+                                        DEFAULT_T_UNROLL_BYTE, LANES,
+                                        build_bin_luts, build_task_vec,
                                         pallas_rollout_binned_supported,
                                         pallas_rollout_supported,
                                         terrain_rollout_costs_pallas,
@@ -171,7 +173,8 @@ def make_rollout_backend(static: SolverStatic):
             costs_km = terrain_rollout_costs_pallas(
                 payload, build_task_vec(task), v_all, w_all,
                 H=H, W=W, T=T, speed_map=speed_map,
-                fast_trig=fast_trig, step_fn=step_fn, interpret=interpret)
+                fast_trig=fast_trig, step_fn=step_fn, interpret=interpret,
+                t_unroll=DEFAULT_T_UNROLL_BYTE)
             return costs_km[:k]
         if backend == "pallas_binned":
             nib, maskw, lut, riskw = payload
@@ -179,7 +182,7 @@ def make_rollout_backend(static: SolverStatic):
             costs_km = terrain_rollout_costs_pallas_binned(
                 nib, maskw, lut, build_task_vec(task), v_all, w_all, riskw,
                 H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn,
-                interpret=interpret)
+                interpret=interpret, t_unroll=DEFAULT_T_UNROLL_BINNED)
             return costs_km[:k]
         return terrain_rollout_costs(payload, task, u, noise,
                                      speed_map=speed_map, step_fn=step_fn)
