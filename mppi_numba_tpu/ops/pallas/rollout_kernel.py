@@ -295,9 +295,13 @@ MAX_UNROLLED_CHUNKS = 16
 
 
 def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
-                                    num_pmf_bins=16,
+                                    num_pmf_bins=16, speed_map=True,
                                     vmem_budget=VMEM_BUDGET):
-    """The sublane tile size to use, or None when the kernel cannot run."""
+    """The sublane tile size to use, or None when the kernel cannot run.
+
+    ``speed_map`` charges the shared risk-byte plane; callers that know the
+    mode pass ``False`` to avoid over-reserving (default True for safety).
+    """
     if not (0 < num_pmf_bins <= 16):
         return None
     n_cell_chunks = -(-map_hw // NIB_CELLS_PER_CHUNK)
@@ -308,7 +312,7 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
         words = (2 * n_cell_chunks * mt * LANES   # nibble chunks, dbl-buffered
                  + 2 * 2 * num_steps * LANES      # v + w controls
                  + (n_mask_chunks + 8) * LANES    # shared masks + LUT
-                 + n_cell_chunks * LANES          # shared risk plane (speed_map)
+                 + (n_cell_chunks * LANES if speed_map else 0)  # risk plane
                  + 10 * mt * LANES)               # state planes + out + scratch
         if words * 4 <= vmem_budget:
             return mt
@@ -538,7 +542,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     n_mask_chunks = max(8, n_mask_chunks_data)
     m_pad = _ceil_to(max(M, 8), 8)
     if m_tile is None:
-        m_tile = pallas_rollout_binned_supported(M, H * W, T) or MAX_M_TILE
+        m_tile = pallas_rollout_binned_supported(
+            M, H * W, T, speed_map=risk_words is not None) or MAX_M_TILE
     m_tile = min(m_pad, m_tile)
     m_pad = _ceil_to(m_pad, m_tile)
 

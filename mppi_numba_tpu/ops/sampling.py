@@ -106,6 +106,7 @@ def _uniform01_at_counters(key, idx):
 
 
 _COUNTER_LAYOUT_VERIFIED = False
+_COUNTER_LAYOUT_CHECKING = False
 
 
 def _verify_counter_layout():
@@ -120,23 +121,31 @@ def _verify_counter_layout():
     So the first counter-addressable draw in a process pays one tiny eager
     comparison against the public ``jax.random`` API and raises on mismatch.
     """
-    global _COUNTER_LAYOUT_VERIFIED
-    if _COUNTER_LAYOUT_VERIFIED:
+    global _COUNTER_LAYOUT_VERIFIED, _COUNTER_LAYOUT_CHECKING
+    if _COUNTER_LAYOUT_VERIFIED or _COUNTER_LAYOUT_CHECKING:
         return
-    _COUNTER_LAYOUT_VERIFIED = True   # set first: the draws below recurse here
-    # The first counter draw usually happens while TRACING a solve;
-    # ensure_compile_time_eval keeps this one-time probe eager/concrete.
-    with jax.ensure_compile_time_eval():
-        key = jax.random.PRNGKey(0x5EED)
-        shape = (3, 2, 7)
-        total = int(np.prod(shape))
-        want_u = np.asarray(jax.random.uniform(key, shape)).reshape(-1)
-        got_u = np.asarray(_uniform01_at_counters(
-            key, jnp.arange(total, dtype=jnp.uint32)))
-        want_n = np.asarray(jax.random.normal(key, shape))[1:]
-        got_n = np.asarray(normal_slice(key, shape, 1, 2))
-    if not (np.array_equal(want_u, got_u) and np.array_equal(want_n, got_n)):
-        _COUNTER_LAYOUT_VERIFIED = False
+    # Separate in-progress sentinel (the draws below recurse here); the
+    # verified flag is only set after a SUCCESSFUL comparison, so a
+    # transient failure inside the probe (RPC error, interrupt) leaves the
+    # check armed for the caller's retry instead of silently disabling it.
+    _COUNTER_LAYOUT_CHECKING = True
+    try:
+        # The first counter draw usually happens while TRACING a solve;
+        # ensure_compile_time_eval keeps this one-time probe eager/concrete.
+        with jax.ensure_compile_time_eval():
+            key = jax.random.PRNGKey(0x5EED)
+            shape = (3, 2, 7)
+            total = int(np.prod(shape))
+            want_u = np.asarray(jax.random.uniform(key, shape)).reshape(-1)
+            got_u = np.asarray(_uniform01_at_counters(
+                key, jnp.arange(total, dtype=jnp.uint32)))
+            want_n = np.asarray(jax.random.normal(key, shape))[1:]
+            got_n = np.asarray(normal_slice(key, shape, 1, 2))
+    finally:
+        _COUNTER_LAYOUT_CHECKING = False
+    if np.array_equal(want_u, got_u) and np.array_equal(want_n, got_n):
+        _COUNTER_LAYOUT_VERIFIED = True
+    else:
         raise RuntimeError(
             "counter-addressable draws no longer match jax.random draws — "
             "this JAX version changed the partitionable-threefry counter "

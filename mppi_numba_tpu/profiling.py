@@ -61,6 +61,33 @@ def chained_solve_time(solve_fn, maps, task, u0, num_iters=30,
     return total / num_iters
 
 
+def chained_kernel_time(kernel_fn, v0, num_iters=20, reps=3,
+                        fetch_rtt_s=0.03):
+    """Per-call latency of a single kernel via the chained-loop protocol.
+
+    ``kernel_fn(v) -> costs`` is called ``num_iters`` times inside one
+    jitted ``fori_loop``; each iteration's input depends infinitesimally on
+    the previous costs (``v + min(costs) * 1e-30``), forcing serial
+    execution with ONE host fetch at the end (CLAUDE.md rule: never trust
+    naive ``block_until_ready`` through the tunneled worker).  Returns the
+    best-of-``reps`` per-call time in milliseconds, with ``fetch_rtt_s``
+    subtracted from each rep's total.
+    """
+    @jax.jit
+    def chain(v):
+        def body(i, v):
+            return v + jnp.min(kernel_fn(v)) * 1e-30
+        return jax.lax.fori_loop(0, num_iters, body, v)
+
+    np.asarray(chain(v0))  # compile + warm
+    best = np.inf
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(chain(v0 + jnp.float32(1e-6 * rep)))
+        best = min(best, (time.perf_counter() - t0 - fetch_rtt_s) / num_iters)
+    return 1000.0 * best
+
+
 def measure_fetch_rtt(n=5):
     """Estimate the host<->device fetch round trip for timing correction."""
     x = jnp.zeros((8,), jnp.float32)

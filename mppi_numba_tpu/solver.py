@@ -71,7 +71,8 @@ def resolve_backend(static: SolverStatic) -> str:
         return "pallas"
     if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
                                        static.num_steps,
-                                       static.num_pmf_bins):
+                                       static.num_pmf_bins,
+                                       speed_map=static.mode == "speed_map"):
         # All three planning modes bin-pack: speed_map walks one extra
         # shared risk-byte plane (same 512-cells/chunk layout and band).
         return "pallas_binned"

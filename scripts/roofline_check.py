@@ -33,81 +33,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from mppi_numba_tpu.ops.packing import pack_bin_nibbles, pack_mask_nibbles
+from _bench_common import (K, M, T, B, RES, VMAX,  # noqa: F401 (RES/VMAX
+                           build_binned_problem)   # used by the cone model)
 from mppi_numba_tpu.ops.pallas.rollout_kernel import (
-    LANES, NIB_CELLS_PER_CHUNK, build_bin_luts, build_task_vec,
-    pallas_rollout_binned_supported, terrain_rollout_costs_pallas_binned)
-from mppi_numba_tpu.types import TerrainTask
-
-K, M, T, B = 1024, 1024, 100, 12
-VMAX, RES = 2.0, 0.5
-
-
-def build(H, W, seed=0):
-    rng = np.random.RandomState(seed)
-    lin_bins = jnp.asarray(rng.randint(0, B, (M, H, W)))
-    ang_bins = jnp.asarray(rng.randint(0, B, (M, H, W)))
-    obs = jnp.zeros((H, W), jnp.int8)
-    qbins = jnp.asarray(np.linspace(0, 100, B).astype(np.int8))
-    f32 = np.float32
-    task = TerrainTask(
-        x0=jnp.asarray(np.array([W * RES / 2, H * RES / 2, 0.7], f32)),
-        xgoal=jnp.asarray(np.array([W * RES - 2, H * RES - 2], f32)),
-        goal_tolerance=f32(0.5), v_post_rollout=f32(0.01),
-        lambda_weight=f32(1.0),
-        u_std=jnp.asarray(np.array([2.0, 3.0], f32)),
-        vrange=jnp.asarray(np.array([0.0, VMAX], f32)),
-        wrange=jnp.asarray(np.array([-3.14, 3.14], f32)),
-        dt=f32(0.1), dist_weight=f32(1.0), obs_penalty=f32(1e5),
-        unknown_penalty=f32(1e2), alpha_dyn=f32(1.0), res=f32(RES),
-        xlim0=f32(0.0), ylim0=f32(0.0), lin_lb=f32(0.0), lin_ratio=f32(0.01),
-        ang_lb=f32(0.0), ang_ratio=f32(0.01))
-    nib = pack_bin_nibbles(lin_bins, ang_bins)
-    maskw = pack_mask_nibbles(obs, obs)
-    lut = build_bin_luts(task, qbins, qbins)
-    rng2 = np.random.RandomState(1)
-    u = jnp.asarray(rng2.uniform(0, 1.5, (T, 2)).astype(f32))
-    noise = rng2.normal(0, 1, (K, T, 2)).astype(f32)
-    v_all = jnp.asarray(np.clip(u[:, 0][:, None] + noise[:, :, 0].T, 0, VMAX))
-    w_all = jnp.asarray(np.clip(u[:, 1][:, None] + noise[:, :, 1].T,
-                                -3.14, 3.14))
-    return nib, maskw, lut, task, v_all, w_all
+    LANES, NIB_CELLS_PER_CHUNK, pallas_rollout_binned_supported,
+    terrain_rollout_costs_pallas_binned)
+from mppi_numba_tpu.profiling import chained_kernel_time
 
 
 def measure(H, W, banded, n=20):
-    import time
-
-    nib, maskw, lut, task, v_all, w_all = build(H, W)
-    m_tile = pallas_rollout_binned_supported(M, H * W, T, B)
+    nib, maskw, lut, tv, v_all, w_all = build_binned_problem(H, W)
+    m_tile = pallas_rollout_binned_supported(M, H * W, T, B,
+                                             speed_map=False)
     assert m_tile, (H, W)
-    tv = build_task_vec(task)
-
-    @jax.jit
-    def chain(v0):
-        # Kernel-only chained timing (CLAUDE.md rule: never trust naive
-        # block_until_ready through the tunnel): each iteration's controls
-        # depend infinitesimally on the previous costs, forcing serial
-        # execution; one fetch at the end.
-        def body(i, v):
-            costs = terrain_rollout_costs_pallas_binned(
-                nib, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
-                fast_trig=True, banded=banded)
-            return v + jnp.min(costs) * 1e-30
-        return jax.lax.fori_loop(0, n, body, v0)
-
-    np.asarray(chain(v_all))     # compile + warm
-    best = np.inf
-    for rep in range(3):
-        t0 = time.perf_counter()
-        np.asarray(chain(v_all + np.float32(1e-6 * rep)))
-        best = min(best, (time.perf_counter() - t0 - 0.03) / n)
+    ms = chained_kernel_time(
+        lambda v: terrain_rollout_costs_pallas_binned(
+            nib, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
+            fast_trig=True, banded=banded), v_all, num_iters=n)
     n_chunks = -(-(H * W) // NIB_CELLS_PER_CHUNK)
     m_pad = -(-max(M, 8) // 8) * 8
     m_tile = min(m_pad, m_tile)
     programs = (-(-m_pad // m_tile) * (K // LANES))
-    return 1000.0 * best, n_chunks, programs, m_tile
+    return ms, n_chunks, programs, m_tile
 
 
 def avg_band_chunks(H, W, n_chunks):

@@ -210,3 +210,37 @@ def test_sample_realization_rejects_malformed_pmf():
     with pytest.raises(ValueError, match="PMF sums"):
         m.terrain.sample_realization_from_pmf_grid(
             pmf, pmf, [0.1, 0.5, 0.9], rng)
+
+
+def test_counter_layout_check_survives_transient_probe_failure():
+    """Round-3 review fix: a transient exception inside the one-time RNG
+    layout probe must leave the check ARMED (flag False) so the caller's
+    retry re-runs it; only a successful comparison may latch it True."""
+    from mppi_numba_tpu.ops import sampling
+
+    orig_verified = sampling._COUNTER_LAYOUT_VERIFIED
+    orig_fn = sampling._uniform01_at_counters
+    try:
+        sampling._COUNTER_LAYOUT_VERIFIED = False
+
+        calls = []
+
+        def flaky(*a, **kw):
+            calls.append(1)
+            raise RuntimeError("transient RPC failure")
+
+        sampling._uniform01_at_counters = flaky
+        with pytest.raises(RuntimeError, match="transient"):
+            sampling._verify_counter_layout()
+        assert sampling._COUNTER_LAYOUT_VERIFIED is False
+        assert sampling._COUNTER_LAYOUT_CHECKING is False
+
+        # Retry with the real draw: must run the probe again and latch.
+        sampling._uniform01_at_counters = orig_fn
+        sampling._verify_counter_layout()
+        assert sampling._COUNTER_LAYOUT_VERIFIED is True
+        assert calls, "probe was skipped entirely"
+    finally:
+        sampling._uniform01_at_counters = orig_fn
+        sampling._COUNTER_LAYOUT_VERIFIED = orig_verified
+        sampling._COUNTER_LAYOUT_CHECKING = False
