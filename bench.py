@@ -115,24 +115,57 @@ def main_with_retry():
     client cannot recover in-process, so retry ONCE by REPLACING this
     process (os.execve — never two live TPU clients at once; CLAUDE.md:
     two concurrent TPU processes crash the worker).  Still prints exactly
-    one JSON line."""
+    one JSON line.
+
+    Two observed failure modes are covered: the worker RAISING (RPC error
+    -> the except branch) and the worker HANGING (device calls block
+    forever — observed as a multi-hour outage where even ones().sum()
+    never returns).  A watchdog thread converts a hang into the same
+    re-exec path; execve from a non-main thread is fine on Linux.
+    """
     import os
     import sys
-    if os.environ.get("MPPI_BENCH_CHILD") == "1":
-        main()
-        return
-    try:
-        main()
-    except Exception as exc:                                  # noqa: BLE001
-        print("bench attempt 1 failed ({}); re-execing a fresh process"
-              .format(type(exc).__name__), file=sys.stderr)
+    import threading
+
+    is_child = os.environ.get("MPPI_BENCH_CHILD") == "1"
+    done = threading.Event()
+
+    def reexec():
         sys.stderr.flush()
         sys.stdout.flush()
-        import time
-        time.sleep(20)
         env = dict(os.environ, MPPI_BENCH_CHILD="1")
         os.execve(sys.executable,
                   [sys.executable, os.path.abspath(__file__)], env)
+
+    def watchdog(deadline_s):
+        if done.wait(deadline_s):
+            return
+        if is_child:
+            print("bench attempt 2 hung past {} s; giving up"
+                  .format(deadline_s), file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(3)
+        print("bench attempt 1 hung past {} s; re-execing a fresh process"
+              .format(deadline_s), file=sys.stderr)
+        reexec()
+
+    # Normal run ~60-90 s incl. compile; 300 s (600 s for the retry, which
+    # also rides out a worker restart) only fires on a genuine wedge.
+    deadline = float(os.environ.get("MPPI_BENCH_WATCHDOG_S",
+                                    600 if is_child else 300))
+    threading.Thread(target=watchdog, args=(deadline,), daemon=True).start()
+    try:
+        main()
+        done.set()
+    except Exception as exc:                                  # noqa: BLE001
+        done.set()
+        if is_child:
+            raise
+        print("bench attempt 1 failed ({}); re-execing a fresh process"
+              .format(type(exc).__name__), file=sys.stderr)
+        import time
+        time.sleep(20)
+        reexec()
 
 
 if __name__ == "__main__":

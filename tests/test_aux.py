@@ -70,6 +70,16 @@ def test_chained_solve_timer_runs():
     assert measure_fetch_rtt(2) >= 0
 
 
+def test_chained_kernel_timer_runs():
+    import jax.numpy as jnp
+    from mppi_numba_tpu.profiling import chained_kernel_time
+
+    ms = chained_kernel_time(lambda v: (v * 2.0).sum(axis=-1),
+                             jnp.ones((8, 16), jnp.float32),
+                             num_iters=3, reps=2, fetch_rtt_s=0.0)
+    assert ms > 0
+
+
 def test_load_reference_experiment_tolerant_unpickler(tmp_path):
     """Pickles embedding reference mppi_numba classes load via stubs."""
     import pickle
