@@ -175,6 +175,11 @@ class MPPIPlanner:
                        and getattr(self.cfg, 'model', 'unicycle')
                        == 'unicycle'),
             model=getattr(self.cfg, "model", "unicycle"),
+            # Optional rollout-backend override (set ``cfg.backend`` after
+            # construction): 'xla', 'pallas', 'pallas_binned',
+            # 'pallas_binned8', or any of those + '_interpret' — used to
+            # force a specific kernel path for debugging / CPU validation.
+            backend=getattr(self.cfg, "backend", "auto"),
         )
 
     def _roi_shape(self, padded_hw):

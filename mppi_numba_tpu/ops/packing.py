@@ -72,6 +72,35 @@ def pack_bin_nibbles(lin_bins, ang_bins):
             | (b[..., 3] << 24))
 
 
+def pack_byte_pairs(lin_grids, ang_grids):
+    """Pack decoded int8 traction VALUES 2 cells per int32 word.
+
+    The 8-bit sibling of ``pack_bin_nibbles`` for TDMs with MORE than 16
+    PMF bins (e.g. the reference benchmark world's 22 bins — reference:
+    benchmark.ipynb[cell 2], terrain.py:380-508 quantizes any PMF support
+    to int8 values 0..100): bin indices no longer fit a nibble, so the
+    cell plane carries the decoded value byte pair ``lin | ang << 8``
+    directly and the kernel decodes ``lb + ratio * value`` inline — the
+    identical arithmetic to the XLA core / the nibble LUT, with no bin
+    count limit at all.  Two cells share a word, so a 128-word vector
+    register covers 256 cells — half the nibble layout's span (twice the
+    walk), still 2x shorter than the one-cell-per-word byte layout.
+
+    Args:
+      lin_grids / ang_grids: int8 ``(M, H, W)`` decoded traction (0..100).
+
+    Returns:
+      int32 ``(M, ceil(H*W/2))``.
+    """
+    M = lin_grids.shape[0]
+    half = (lin_grids.astype(jnp.int32)
+            | (ang_grids.astype(jnp.int32) << 8)).reshape(M, -1)
+    pad = (-half.shape[1]) % 2
+    half = jnp.pad(half, ((0, 0), (0, pad)))
+    h = half.reshape(M, -1, 2)
+    return h[..., 0] | (h[..., 1] << 16)
+
+
 def pack_mask_nibbles(obstacle_map, unknown_map):
     """Pack the shared obstacle/unknown masks 16 cells per int32 word.
 

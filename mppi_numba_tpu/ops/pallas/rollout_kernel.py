@@ -286,6 +286,7 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
 # ---------------------------------------------------------------------------
 
 NIB_CELLS_PER_CHUNK = 4 * LANES     # 512
+BYTE2_CELLS_PER_CHUNK = 2 * LANES   # 256 (cell_bits=8: >16-bin TDMs)
 MASK_CELLS_PER_CHUNK = 16 * LANES   # 2048
 # Walk strategy threshold: a statically unrolled chunk walk pipelines better
 # (measured: 10.7 vs 12.5 ms at 13 chunks on the 85x84 ROI flagship), while
@@ -296,23 +297,30 @@ MAX_UNROLLED_CHUNKS = 16
 
 def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
                                     num_pmf_bins=16, speed_map=True,
-                                    vmem_budget=VMEM_BUDGET):
+                                    cell_bits=4, vmem_budget=VMEM_BUDGET):
     """The sublane tile size to use, or None when the kernel cannot run.
 
     ``speed_map`` charges the shared risk-byte plane; callers that know the
     mode pass ``False`` to avoid over-reserving (default True for safety).
+    ``cell_bits=8`` is the byte-pair layout (``pack_byte_pairs``): 256
+    cells per chunk and NO bin-count limit — the cell plane carries decoded
+    int8 traction values instead of nibble bin indices.
     """
-    if not (0 < num_pmf_bins <= 16):
+    if cell_bits == 4 and not (0 < num_pmf_bins <= 16):
         return None
-    n_cell_chunks = -(-map_hw // NIB_CELLS_PER_CHUNK)
+    cpc = NIB_CELLS_PER_CHUNK if cell_bits == 4 else BYTE2_CELLS_PER_CHUNK
+    n_cell_chunks = -(-map_hw // cpc)
     n_mask_chunks = max(8, -(-map_hw // MASK_CELLS_PER_CHUNK))
+    # The shared risk plane always packs 4 cells/word (pack_risk_bytes),
+    # independent of the cell plane's layout.
+    n_risk_chunks = -(-map_hw // NIB_CELLS_PER_CHUNK)
     m_pad = _ceil_to(max(num_grid_samples, 8), 8)
     for m_tile in (MAX_M_TILE, 128, 64, 32):
         mt = min(m_pad, m_tile)
-        words = (2 * n_cell_chunks * mt * LANES   # nibble chunks, dbl-buffered
+        words = (2 * n_cell_chunks * mt * LANES   # cell chunks, dbl-buffered
                  + 2 * 2 * num_steps * LANES      # v + w controls
                  + (n_mask_chunks + 8) * LANES    # shared masks + LUT
-                 + (n_cell_chunks * LANES if speed_map else 0)  # risk plane
+                 + (n_risk_chunks * LANES if speed_map else 0)  # risk plane
                  + 10 * mt * LANES)               # state planes + out + scratch
         if words * 4 <= vmem_budget:
             return mt
@@ -320,8 +328,9 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
 
 
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
-                           n_cell_chunks, n_mask_chunks, fast_trig, step_fn,
-                           banded, speed_map, t_unroll=1):
+                           n_cell_chunks, n_mask_chunks, n_risk_chunks,
+                           fast_trig, step_fn, banded, speed_map,
+                           cell_bits=4, t_unroll=1):
     if speed_map:
         risk_ref, lut_ref, v_ref, w_ref, cost_ref = refs
     else:
@@ -339,7 +348,13 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     inv_res = task_ref[0, 11]
     xlim0, ylim0 = task_ref[0, 12], task_ref[0, 13]
     lin_lb, lin_ratio = task_ref[0, 14], task_ref[0, 15]
+    ang_lb, ang_ratio = task_ref[0, 16], task_ref[0, 17]
     tol2 = tol * tol
+    # Cell-plane layout: 4-bit bin indices (LUT decode) or 8-bit decoded
+    # value pairs (inline lb + ratio * value decode — same arithmetic).
+    cell_cpc = (NIB_CELLS_PER_CHUNK if cell_bits == 4
+                else BYTE2_CELLS_PER_CHUNK)
+    cell_shift = 2 if cell_bits == 4 else 1
 
     m_tile = cost_ref.shape[0]
     shape = (m_tile, LANES)
@@ -422,19 +437,24 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             cell_lo, cell_hi = jnp.min(cell), jnp.max(cell)
 
         if n_cell_chunks == 1:
-            words = jnp.take_along_axis(nib_ref[0], cell >> 2, axis=1,
-                                        mode="promise_in_bounds")
+            words = jnp.take_along_axis(nib_ref[0], cell >> cell_shift,
+                                        axis=1, mode="promise_in_bounds")
         elif n_cell_chunks <= MAX_UNROLLED_CHUNKS or not banded:
             words = unrolled_walk(cell, lambda c: nib_ref[c],
-                                  NIB_CELLS_PER_CHUNK, 2, n_cell_chunks)
+                                  cell_cpc, cell_shift, n_cell_chunks)
         else:
             words = banded_walk(cell_lo, cell_hi, cell, nib_ref,
-                                NIB_CELLS_PER_CHUNK, 2, n_cell_chunks)
-        byte = words >> ((cell & 3) << 3)
-        lin_tr = jnp.take_along_axis(lut_lin, byte & 0xF, axis=1,
-                                     mode="promise_in_bounds")
-        ang_tr = jnp.take_along_axis(lut_ang, (byte >> 4) & 0xF, axis=1,
-                                     mode="promise_in_bounds")
+                                cell_cpc, cell_shift, n_cell_chunks)
+        if cell_bits == 4:
+            byte = words >> ((cell & 3) << 3)
+            lin_tr = jnp.take_along_axis(lut_lin, byte & 0xF, axis=1,
+                                         mode="promise_in_bounds")
+            ang_tr = jnp.take_along_axis(lut_ang, (byte >> 4) & 0xF, axis=1,
+                                         mode="promise_in_bounds")
+        else:
+            half = words >> ((cell & 1) << 4)
+            lin_tr = lin_lb + lin_ratio * (half & 0xFF).astype(f32)
+            ang_tr = ang_lb + ang_ratio * ((half >> 8) & 0xFF).astype(f32)
 
         if n_mask_data <= 1:
             mwords = jnp.take_along_axis(mask_tile(0), cell >> 4, axis=1,
@@ -454,15 +474,15 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             # mppi_numba/mppi.py:1095-1096): the shared risk byte walks the
             # same 512-cells/chunk layout (and band) as the nibble plane on
             # a single broadcast sublane.
-            if n_cell_chunks == 1:
+            if n_risk_chunks == 1:
                 rwords = jnp.take_along_axis(risk_tile(0), cell >> 2, axis=1,
                                              mode="promise_in_bounds")
-            elif n_cell_chunks <= MAX_UNROLLED_CHUNKS or not banded:
+            elif n_risk_chunks <= MAX_UNROLLED_CHUNKS or not banded:
                 rwords = unrolled_walk(cell, risk_tile, NIB_CELLS_PER_CHUNK,
-                                       2, n_cell_chunks)
+                                       2, n_risk_chunks)
             else:
                 rwords = banded_walk(cell_lo, cell_hi, cell, risk_ref,
-                                     NIB_CELLS_PER_CHUNK, 2, n_cell_chunks)
+                                     NIB_CELLS_PER_CHUNK, 2, n_risk_chunks)
             rbyte = ((rwords >> ((cell & 3) << 3)) & 0xFF).astype(f32)
             eff = lin_lb + lin_ratio * rbyte
             dt_eff = dt / (eff + 1e-6)
@@ -509,20 +529,26 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "T", "fast_trig", "interpret",
                                     "m_tile", "step_fn", "banded",
-                                    "t_unroll"))
+                                    "cell_bits", "t_unroll"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, risk_words=None,
                                         *, H, W, T,
                                         fast_trig=False, interpret=False,
                                         m_tile=None, step_fn=None,
-                                        banded=True, t_unroll=1):
-    """Fused rollout with 4-bit bin-index maps.
+                                        banded=True, cell_bits=4, t_unroll=1):
+    """Fused rollout with packed cell-plane maps.
 
     Args:
-      nib_words: int32 ``(M, ceil(H*W/4))`` from ``pack_bin_nibbles``.
+      nib_words: the cell plane — int32 ``(M, ceil(H*W/4))`` of 4-bit bin
+        indices from ``pack_bin_nibbles`` (``cell_bits=4``, needs <= 16
+        PMF bins), or int32 ``(M, ceil(H*W/2))`` of decoded traction value
+        byte pairs from ``pack_byte_pairs`` (``cell_bits=8``, any bin
+        count — e.g. the reference benchmark world's 22 bins).
       mask_words: int32 ``(ceil(H*W/16),)`` from ``pack_mask_nibbles``.
       lut: float32 ``(8, 128)`` — rows 0/1 hold per-bin linear/angular
-        traction (``build_bin_luts``).
+        traction (``build_bin_luts``).  Unused (may be None) when
+        ``cell_bits=8``: the value plane decodes inline via
+        ``lb + ratio * value`` — the identical arithmetic.
       task_vec / v_all / w_all: as in ``terrain_rollout_costs_pallas``.
       risk_words: optional int32 ``(ceil(H*W/4),)`` from
         ``pack_risk_bytes`` — enables speed-map mode (the stage time cost
@@ -534,18 +560,23 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
       ``ops.rollout.terrain_rollout_costs`` with
       ``speed_map=(risk_words is not None)``.
     """
+    assert cell_bits in (4, 8), cell_bits
     M, n_words = nib_words.shape
     K = v_all.shape[1]
     assert K % LANES == 0, K
     n_cell_chunks = -(-n_words // LANES)
+    n_risk_chunks = -(-(H * W) // NIB_CELLS_PER_CHUNK)
     n_mask_chunks_data = -(-mask_words.shape[0] // LANES)
     n_mask_chunks = max(8, n_mask_chunks_data)
     m_pad = _ceil_to(max(M, 8), 8)
     if m_tile is None:
         m_tile = pallas_rollout_binned_supported(
-            M, H * W, T, speed_map=risk_words is not None) or MAX_M_TILE
+            M, H * W, T, speed_map=risk_words is not None,
+            cell_bits=cell_bits) or MAX_M_TILE
     m_tile = min(m_pad, m_tile)
     m_pad = _ceil_to(m_pad, m_tile)
+    if lut is None:
+        lut = jnp.zeros((8, LANES), jnp.float32)
 
     nib = jnp.pad(nib_words, ((0, m_pad - M),
                               (0, n_cell_chunks * LANES - n_words)))
@@ -564,9 +595,10 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     kernel = functools.partial(_rollout_kernel_binned, T=T, H=H, W=W,
                                n_cell_chunks=n_cell_chunks,
                                n_mask_chunks=n_mask_chunks,
+                               n_risk_chunks=n_risk_chunks,
                                fast_trig=fast_trig, step_fn=step_fn,
                                banded=banded, speed_map=speed_map,
-                               t_unroll=t_unroll)
+                               cell_bits=cell_bits, t_unroll=t_unroll)
     in_specs = [
         pl.BlockSpec((8, LANES), lambda mi, ki: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -578,9 +610,9 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     operands = [task_vec, chunks, masks]
     if speed_map:
         risk = jnp.pad(risk_words,
-                       (0, n_cell_chunks * LANES - risk_words.shape[0]))
-        operands.append(risk.reshape(n_cell_chunks, 1, LANES))
-        in_specs.append(pl.BlockSpec((n_cell_chunks, 1, LANES),
+                       (0, n_risk_chunks * LANES - risk_words.shape[0]))
+        operands.append(risk.reshape(n_risk_chunks, 1, LANES))
+        in_specs.append(pl.BlockSpec((n_risk_chunks, 1, LANES),
                                      lambda mi, ki: (0, 0, 0),
                                      memory_space=pltpu.VMEM))
     operands += [lut, v_all, w_all]

@@ -26,7 +26,7 @@ from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 # Sentinel for SolverStatic.cvar_numel: read the traced task.cvar_alpha
 # instead of specializing the executable on a fixed top-k size.
 DYNAMIC_CVAR = -1
-from .ops.packing import (pack_bin_nibbles, pack_map_words,
+from .ops.packing import (pack_bin_nibbles, pack_byte_pairs, pack_map_words,
                           pack_mask_nibbles, pack_risk_bytes)
 from .ops.pallas.rollout_kernel import (DEFAULT_T_UNROLL_BINNED,
                                         DEFAULT_T_UNROLL_BYTE, LANES,
@@ -78,6 +78,15 @@ def resolve_backend(static: SolverStatic) -> str:
         return "pallas_binned"
     if byte_ok:
         return "pallas"
+    if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
+                                       static.num_steps,
+                                       speed_map=static.mode == "speed_map",
+                                       cell_bits=8):
+        # >16-bin TDMs on realistic maps: the nibble layout can't hold the
+        # bin index and the one-word-per-cell byte kernel blows VMEM, so
+        # walk 8-bit decoded-value pairs (256 cells/chunk) — everything
+        # else (banded walk, mask/risk planes, t_unroll) is shared.
+        return "pallas_binned8"
     return "xla"
 
 
@@ -154,6 +163,12 @@ def make_rollout_backend(static: SolverStatic):
                     pack_mask_nibbles(maps.obstacle, maps.unknown),
                     build_bin_luts(task, maps.lin_qbins, maps.ang_qbins),
                     pack_risk_bytes(maps.risk) if speed_map else None)
+        if backend == "pallas_binned8":
+            # >16-bin cell plane: decoded int8 value pairs, no LUT.
+            return (pack_byte_pairs(lin_grids, ang_grids),
+                    pack_mask_nibbles(maps.obstacle, maps.unknown),
+                    None,
+                    pack_risk_bytes(maps.risk) if speed_map else None)
         return pack_map_words(lin_grids, ang_grids, maps.obstacle,
                               maps.unknown, maps.risk if speed_map else None)
 
@@ -177,13 +192,15 @@ def make_rollout_backend(static: SolverStatic):
                 fast_trig=fast_trig, step_fn=step_fn, interpret=interpret,
                 t_unroll=DEFAULT_T_UNROLL_BYTE)
             return costs_km[:k]
-        if backend == "pallas_binned":
+        if backend in ("pallas_binned", "pallas_binned8"):
             nib, maskw, lut, riskw = payload
             v_all, w_all = _padded_controls(u, noise, task)
             costs_km = terrain_rollout_costs_pallas_binned(
                 nib, maskw, lut, build_task_vec(task), v_all, w_all, riskw,
                 H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn,
-                interpret=interpret, t_unroll=DEFAULT_T_UNROLL_BINNED)
+                interpret=interpret,
+                cell_bits=8 if backend == "pallas_binned8" else 4,
+                t_unroll=DEFAULT_T_UNROLL_BINNED)
             return costs_km[:k]
         return terrain_rollout_costs(payload, task, u, noise,
                                      speed_map=speed_map, step_fn=step_fn)

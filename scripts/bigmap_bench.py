@@ -38,7 +38,7 @@ VMAX = 2.0
 CVAR_ALPHA = 0.2
 
 
-def build(H, W, roi, backend="auto", mode="tdm"):
+def build(H, W, roi, backend="auto", mode="tdm", B=B):
     rng = np.random.RandomState(0)
     raw = rng.randint(0, 100, size=(B, H, W)).astype(float)
     pmf = (raw / raw.sum(0) * 100).astype(np.int8)
@@ -116,9 +116,16 @@ def main():
         ("max_250x250_speed_roi", 250, 250, roi_for(250, 250), "auto",
          "speed_map", 30),
         ("forest_140x84_xla", 140, 84, None, "xla", "tdm", 5),
+        # >16-bin TDMs (the reference benchmark world quantizes to 22 bins)
+        # route to the 8-bit value-pair cell plane — round-3 addition; the
+        # pre-round-3 behavior on these shapes was the XLA fallback.
+        ("forest_140x84_byte2_22bin", 140, 84, None, "auto", "tdm", 10),
+        ("max_250x250_byte2_22bin_roi", 250, 250, roi_for(250, 250),
+         "auto", "tdm", 10),
     ]
     for label, H, W, roi, backend, mode, n in scenarios:
-        static, maps, task = build(H, W, roi, backend, mode)
+        static, maps, task = build(H, W, roi, backend, mode,
+                                   B=22 if "22bin" in label else B)
         be = resolve_backend(static)
         try:
             ms = measure(static, maps, task, n)

@@ -93,8 +93,8 @@ BINNED_CASES = [
 
 
 def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig,
-                    t_unroll=1):
-    from mppi_numba_tpu.ops.packing import pack_risk_bytes
+                    t_unroll=1, cell_bits=4):
+    from mppi_numba_tpu.ops.packing import pack_byte_pairs, pack_risk_bytes
 
     task, _, _, obs, unk, risk, u_cur, noise = build_problem(
         11, K, M, T, H, W, cliffs=not fast_trig)
@@ -111,13 +111,21 @@ def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig,
                                            speed_map=speed_map))
     v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange,
                                         task.wrange)
+    if cell_bits == 8:
+        cell_plane = pack_byte_pairs(jnp.asarray(qbins[lin_bins]),
+                                     jnp.asarray(qbins[ang_bins]))
+        lut = None
+    else:
+        cell_plane = pack_bin_nibbles(jnp.asarray(lin_bins),
+                                      jnp.asarray(ang_bins))
+        lut = build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins))
     got = np.asarray(terrain_rollout_costs_pallas_binned(
-        pack_bin_nibbles(jnp.asarray(lin_bins), jnp.asarray(ang_bins)),
+        cell_plane,
         pack_mask_nibbles(jnp.asarray(obs), jnp.asarray(unk)),
-        build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins)),
-        build_task_vec(task), v_all, w_all,
+        lut, build_task_vec(task), v_all, w_all,
         pack_risk_bytes(jnp.asarray(risk)) if speed_map else None,
-        H=H, W=W, T=T, fast_trig=fast_trig, t_unroll=t_unroll))
+        H=H, W=W, T=T, fast_trig=fast_trig, cell_bits=cell_bits,
+        t_unroll=t_unroll))
     return ref, got
 
 
@@ -172,6 +180,22 @@ def main():
         print(f"{status} bin-forest t_unroll={tu} max rel err {rel:.2e} "
               f"(tol 1e-04)")
         assert rel <= 1e-4, f"t_unroll={tu}"
+    # 8-bit value-pair cell plane (>16-bin TDMs, e.g. the reference
+    # benchmark world's 22 bins): single-chunk, banded, and speed-map
+    # (different cell/risk chunk counts) regimes on hardware.
+    for name, K, M, T, H, W, B, speed_map in [
+            ("byte2-small", 256, 64, 40, 13, 15, 22, False),
+            ("byte2-forest", 512, 256, 50, 140, 84, 22, False),
+            ("byte2-speed-forest", 1024, 1, 50, 140, 84, 22, True)]:
+        ref, got = run_binned_case(name, K, M, T, H, W, B, speed_map,
+                                   False, cell_bits=8)
+        rel = float((np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)).max())
+        worst = max(worst, rel)
+        status = "OK " if rel <= 1e-4 else "FAIL"
+        print(f"{status} {name:16s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
+              f"bins={B} speed_map={int(speed_map)} cell_bits=8 "
+              f"max rel err {rel:.2e} (tol 1e-04)")
+        assert rel <= 1e-4, name
     task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(
         7, 1024, 256, 50, 11, 11, cliffs=True)
     packed = pack_map_words(jnp.asarray(lin), jnp.asarray(ang),

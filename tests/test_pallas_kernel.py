@@ -226,8 +226,86 @@ def test_binned_supported_predicate():
     assert pallas_rollout_binned_supported(1024, 140 * 84, 100, 12)
     # ...and on a reference-max 250x250 map via a smaller sublane tile.
     assert pallas_rollout_binned_supported(1024, 250 * 250, 100, 12)
-    # >16 bins cannot nibble-pack.
+    # >16 bins cannot nibble-pack...
     assert pallas_rollout_binned_supported(1024, 140 * 84, 100, 17) is None
+    # ...but the byte-pair layout has no bin limit and still fits both
+    # realistic shapes at flagship M (2x the nibble layout's chunk count).
+    assert pallas_rollout_binned_supported(1024, 140 * 84, 100, 22,
+                                           cell_bits=8)
+    assert pallas_rollout_binned_supported(1024, 250 * 250, 100, 22,
+                                           cell_bits=8)
+
+
+# -- byte-pair (cell_bits=8) cell plane: >16-bin TDMs ------------------------
+
+def build_byte2_problem(seed=0, K=128, M=8, T=15, H=9, W=11, B=22,
+                        with_risk=False):
+    """>16-bin maps: value byte pairs for the kernel, byte words for the
+    oracle (the reference benchmark world quantizes to 22 bins —
+    reference: benchmark.ipynb[cell 2], terrain.py:380-508)."""
+    from mppi_numba_tpu.ops.packing import pack_byte_pairs
+
+    task, _, _, obs, unk, risk, u_cur, noise = build_problem(
+        seed=seed, K=K, M=M, T=T, H=H, W=W)
+    rng = np.random.RandomState(seed + 200)
+    qbins = np.sort(rng.choice(101, size=B, replace=False)).astype(np.int8)
+    lin_vals = qbins[rng.randint(0, B, (M, H, W))]
+    ang_vals = qbins[rng.randint(0, B, (M, H, W))]
+    packed = pack_map_words(jnp.asarray(lin_vals), jnp.asarray(ang_vals),
+                            jnp.asarray(obs), jnp.asarray(unk),
+                            jnp.asarray(risk) if with_risk else None)
+    b2 = pack_byte_pairs(jnp.asarray(lin_vals), jnp.asarray(ang_vals))
+    maskw = pack_mask_nibbles(jnp.asarray(obs), jnp.asarray(unk))
+    if with_risk:
+        return task, packed, b2, maskw, u_cur, noise, jnp.asarray(risk)
+    return task, packed, b2, maskw, u_cur, noise
+
+
+@pytest.mark.parametrize("shape", [(9, 11),     # single 256-cell chunk
+                                   (40, 40),    # 7 chunks, unrolled walk
+                                   (96, 92)])   # 35 chunks -> banded walk
+def test_byte2_kernel_matches_xla_rollout(shape):
+    H, W = shape
+    task, packed, b2, maskw, u_cur, noise = build_byte2_problem(
+        seed=15, K=128, M=8, T=15, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        b2, maskw, None, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=15, interpret=True, cell_bits=8))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(40, 40),    # risk walk unrolled
+                                   (96, 92)])   # cell banded, risk banded
+def test_byte2_kernel_speed_map_matches_xla(shape):
+    """cell_bits=8 with the shared risk plane: the cell plane walks 256
+    cells/chunk while the risk plane keeps its own 512-cells/chunk layout
+    (different chunk counts — the regression this test pins)."""
+    from mppi_numba_tpu.ops.packing import pack_risk_bytes
+
+    H, W = shape
+    task, packed, b2, maskw, u_cur, noise, risk = build_byte2_problem(
+        seed=16, K=128, M=4, T=15, H=H, W=W, with_risk=True)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise,
+                                           speed_map=True))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        b2, maskw, None, build_task_vec(task), v_all, w_all,
+        pack_risk_bytes(risk), H=H, W=W, T=15, interpret=True, cell_bits=8))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_byte2_kernel_t_unroll_matches_oracle():
+    H, W = 96, 92
+    task, packed, b2, maskw, u_cur, noise = build_byte2_problem(
+        seed=17, K=128, M=8, T=18, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        b2, maskw, None, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=18, interpret=True, cell_bits=8, t_unroll=4))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
 # -- fast_trig coverage off-hardware (VERDICT round 1 item 7) ---------------

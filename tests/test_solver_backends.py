@@ -23,7 +23,7 @@ from mppi_numba_tpu.types import MapInputs, TerrainTask
 K, T, H, W, B = 128, 12, 21, 30, 8
 
 
-def build(mode, roi):
+def build(mode, roi, B=B):
     M = 8 if mode == "tdm" else 1
     rng = np.random.RandomState(3)
     raw = rng.randint(1, 100, size=(B, H, W)).astype(float)
@@ -63,7 +63,8 @@ def build(mode, roi):
 
 
 @pytest.mark.parametrize("mode", ["tdm", "det_dyn", "speed_map"])
-@pytest.mark.parametrize("kernel", ["pallas", "pallas_binned"])
+@pytest.mark.parametrize("kernel", ["pallas", "pallas_binned",
+                                    "pallas_binned8"])
 @pytest.mark.parametrize("roi", [None, (15, 17)])
 def test_full_solve_backend_parity(mode, kernel, roi):
     maps, task, static_for = build(mode, roi)
@@ -78,6 +79,50 @@ def test_full_solve_backend_parity(mode, kernel, roi):
     # Identical keys -> identical sampled maps and noise in both backends;
     # rollout costs agree to float precision, the softmax update amplifies
     # ~1e-6 cost deltas into ~1e-4 control deltas.
+    np.testing.assert_allclose(np.asarray(aux_got.costs),
+                               np.asarray(aux_ref.costs),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_resolve_backend_routing_over16_bins(monkeypatch):
+    """On TPU (monkeypatched), realistic >16-bin maps route to the
+    byte-pair kernel instead of the XLA fallback; <=16-bin maps keep the
+    nibble kernel; tiny maps keep the byte kernel."""
+    from mppi_numba_tpu import solver as solver_mod
+    from mppi_numba_tpu.config import SolverStatic
+
+    monkeypatch.setattr(solver_mod.jax, "default_backend", lambda: "tpu")
+
+    def static_for(bins, shape):
+        return SolverStatic(
+            mode="tdm", num_steps=100, num_control_rollouts=1024,
+            num_grid_samples=1024, map_shape=shape, num_obstacles=0,
+            cvar_numel=205, num_opt=1, num_vis_state_rollouts=1,
+            num_pmf_bins=bins)
+
+    assert solver_mod.resolve_backend(static_for(22, (11, 11))) == "pallas"
+    assert solver_mod.resolve_backend(
+        static_for(12, (140, 84))) == "pallas_binned"
+    assert solver_mod.resolve_backend(
+        static_for(22, (140, 84))) == "pallas_binned8"
+    assert solver_mod.resolve_backend(
+        static_for(22, (250, 250))) == "pallas_binned8"
+
+
+def test_full_solve_over16_bins_byte2():
+    """22-bin TDM (the reference benchmark world's bin count): the nibble
+    layout is ineligible, the byte-pair backend must match the oracle."""
+    maps, task, static_for = build("tdm", None, B=22)
+    key = jax.random.PRNGKey(17)
+
+    def solve(backend):
+        fn = get_terrain_solver(static_for(backend))
+        return fn(key, maps, task, jnp.zeros((T, 2), jnp.float32))
+
+    u_ref, aux_ref = solve("xla")
+    u_got, aux_got = solve("pallas_binned8_interpret")
     np.testing.assert_allclose(np.asarray(aux_got.costs),
                                np.asarray(aux_ref.costs),
                                rtol=1e-5, atol=1e-3)
