@@ -30,6 +30,7 @@ from .ops.packing import (pack_bin_nibbles, pack_byte_pairs, pack_map_words,
                           pack_mask_nibbles, pack_risk_bytes)
 from .ops.pallas.rollout_kernel import (DEFAULT_T_UNROLL_BINNED,
                                         DEFAULT_T_UNROLL_BYTE, LANES,
+                                        MAX_UNROLLED_CHUNKS,
                                         build_bin_luts, build_task_vec,
                                         pallas_rollout_binned_supported,
                                         pallas_rollout_supported,
@@ -76,17 +77,23 @@ def resolve_backend(static: SolverStatic) -> str:
         # All three planning modes bin-pack: speed_map walks one extra
         # shared risk-byte plane (same 512-cells/chunk layout and band).
         return "pallas_binned"
-    if byte_ok:
+    if byte_ok and H * W <= MAX_UNROLLED_CHUNKS * LANES:
+        # The byte kernel has no banded walk — only keep it while its
+        # fully unrolled 128-cells/chunk walk stays short.
         return "pallas"
     if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
                                        static.num_steps,
                                        speed_map=static.mode == "speed_map",
                                        cell_bits=8):
         # >16-bin TDMs on realistic maps: the nibble layout can't hold the
-        # bin index and the one-word-per-cell byte kernel blows VMEM, so
-        # walk 8-bit decoded-value pairs (256 cells/chunk) — everything
-        # else (banded walk, mask/risk planes, t_unroll) is shared.
+        # bin index and the one-word-per-cell byte layout either blows
+        # VMEM (large M) or would unroll a prohibitively long walk (det
+        # modes), so walk 8-bit decoded-value pairs (256 cells/chunk) —
+        # everything else (banded walk, mask/risk planes, t_unroll) is
+        # shared with the nibble kernel.
         return "pallas_binned8"
+    if byte_ok:
+        return "pallas"
     return "xla"
 
 

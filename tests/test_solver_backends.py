@@ -95,12 +95,13 @@ def test_resolve_backend_routing_over16_bins(monkeypatch):
 
     monkeypatch.setattr(solver_mod.jax, "default_backend", lambda: "tpu")
 
-    def static_for(bins, shape):
+    def static_for(bins, shape, mode="tdm"):
+        m = 1024 if mode == "tdm" else 1
         return SolverStatic(
-            mode="tdm", num_steps=100, num_control_rollouts=1024,
-            num_grid_samples=1024, map_shape=shape, num_obstacles=0,
-            cvar_numel=205, num_opt=1, num_vis_state_rollouts=1,
-            num_pmf_bins=bins)
+            mode=mode, num_steps=100, num_control_rollouts=1024,
+            num_grid_samples=m, map_shape=shape, num_obstacles=0,
+            cvar_numel=205 if m > 1 else 1, num_opt=1,
+            num_vis_state_rollouts=1, num_pmf_bins=bins)
 
     assert solver_mod.resolve_backend(static_for(22, (11, 11))) == "pallas"
     assert solver_mod.resolve_backend(
@@ -109,6 +110,16 @@ def test_resolve_backend_routing_over16_bins(monkeypatch):
         static_for(22, (140, 84))) == "pallas_binned8"
     assert solver_mod.resolve_backend(
         static_for(22, (250, 250))) == "pallas_binned8"
+    # >16-bin mid map: the byte kernel's unrolled walk is still short
+    # (1600 cells = 13 chunks <= MAX_UNROLLED_CHUNKS), keep it.
+    assert solver_mod.resolve_backend(static_for(22, (40, 40))) == "pallas"
+    # >16-bin LARGE map in a det mode (M=1): the byte kernel fits VMEM but
+    # its walk has no banding — a 250x250 map would unroll 489 chunks.
+    # Must route to the banded byte-pair kernel instead.
+    assert solver_mod.resolve_backend(
+        static_for(22, (250, 250), mode="det_dyn")) == "pallas_binned8"
+    assert solver_mod.resolve_backend(
+        static_for(22, (250, 250), mode="speed_map")) == "pallas_binned8"
 
 
 def test_full_solve_over16_bins_byte2():
