@@ -107,7 +107,15 @@ def main():
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(REF_SOLVE_MS / ms, 2),
-    }))
+    }), flush=True)
+    # Disarm the hang watchdog in the same statement block as the print:
+    # once the JSON line is out, a re-exec would print a SECOND line.
+    _PRINTED.set()
+
+
+import threading as _threading
+
+_PRINTED = _threading.Event()
 
 
 def main_with_retry():
@@ -128,7 +136,6 @@ def main_with_retry():
     import threading
 
     is_child = os.environ.get("MPPI_BENCH_CHILD") == "1"
-    done = threading.Event()
 
     def reexec():
         sys.stderr.flush()
@@ -138,27 +145,35 @@ def main_with_retry():
                   [sys.executable, os.path.abspath(__file__)], env)
 
     def watchdog(deadline_s):
-        if done.wait(deadline_s):
+        # _PRINTED (set inside main() right after the JSON line) is the
+        # disarm signal, NOT main()'s return: re-execing after the line is
+        # out would print a second one.
+        if _PRINTED.wait(deadline_s):
             return
         if is_child:
             print("bench attempt 2 hung past {} s; giving up"
                   .format(deadline_s), file=sys.stderr)
             sys.stderr.flush()
             os._exit(3)
-        print("bench attempt 1 hung past {} s; re-execing a fresh process"
-              .format(deadline_s), file=sys.stderr)
+        print("bench attempt 1 hung past {} s; re-execing a fresh process "
+              "after a 20 s worker-recovery grace".format(deadline_s),
+              file=sys.stderr)
+        import time
+        time.sleep(20)      # same restart grace as the exception path
+        if _PRINTED.is_set():   # the run finished while we slept
+            return
         reexec()
 
-    # Normal run ~60-90 s incl. compile; 300 s (600 s for the retry, which
-    # also rides out a worker restart) only fires on a genuine wedge.
+    # Normal run ~60-90 s incl. compile; 420 s (600 s for the retry, which
+    # also rides out a worker restart) only fires on a genuine wedge, with
+    # slack for a cold compile cache on a busy shared worker.
     deadline = float(os.environ.get("MPPI_BENCH_WATCHDOG_S",
-                                    600 if is_child else 300))
+                                    600 if is_child else 420))
     threading.Thread(target=watchdog, args=(deadline,), daemon=True).start()
     try:
         main()
-        done.set()
     except Exception as exc:                                  # noqa: BLE001
-        done.set()
+        _PRINTED.set()      # disarm: the exception path owns recovery now
         if is_child:
             raise
         print("bench attempt 1 failed ({}); re-execing a fresh process"

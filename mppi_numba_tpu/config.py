@@ -184,6 +184,8 @@ class SolverStatic:
     # None = operate on the full padded map.
     roi_shape: Tuple[int, int] | None = None
     # Number of PMF bins of the TDMs this executable serves.  Only consulted
-    # for backend selection (the bin-packed Pallas kernel needs bins <= 16);
-    # 0 = unknown, never selects the bin-packed kernel.
+    # for backend selection: the 4-bit nibble kernel needs 1 <= bins <= 16;
+    # 0 = unknown, never selects the nibble kernel but MAY select the 8-bit
+    # value-pair kernel, which packs decoded traction values and is
+    # bin-count-agnostic (any bins, including unknown, are exact there).
     num_pmf_bins: int = 0

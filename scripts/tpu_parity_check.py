@@ -79,16 +79,23 @@ CASES = [
 ]
 
 BINNED_CASES = [
-    # (name, K, M, T, H, W, B, speed_map, fast_trig) — the bin-packed kernel
-    # on the realistic shapes it was built for (forest TDM / ROI windows).
-    ("bin-small", 256, 64, 40, 13, 15, 12, False, False),
-    ("bin-forest", 512, 256, 50, 140, 84, 12, False, False),
-    ("bin-roi", 1024, 256, 50, 85, 85, 12, False, False),
-    ("bin-smooth-ft", 512, 64, 50, 85, 85, 1, False, True),
+    # (name, K, M, T, H, W, B, speed_map, fast_trig, cell_bits) — the
+    # bin-packed kernel on the realistic shapes it was built for (forest
+    # TDM / ROI windows).
+    ("bin-small", 256, 64, 40, 13, 15, 12, False, False, 4),
+    ("bin-forest", 512, 256, 50, 140, 84, 12, False, False, 4),
+    ("bin-roi", 1024, 256, 50, 85, 85, 12, False, False, 4),
+    ("bin-smooth-ft", 512, 64, 50, 85, 85, 1, False, True, 4),
     # Speed-map mode (M=1, shared risk-byte walk) incl. the banded regime.
-    ("bin-speed-sm", 512, 1, 40, 13, 15, 12, True, False),
-    ("bin-speed-forest", 1024, 1, 50, 140, 84, 12, True, False),
-    ("bin-speed-250", 1024, 1, 60, 250, 250, 12, True, False),
+    ("bin-speed-sm", 512, 1, 40, 13, 15, 12, True, False, 4),
+    ("bin-speed-forest", 1024, 1, 50, 140, 84, 12, True, False, 4),
+    ("bin-speed-250", 1024, 1, 60, 250, 250, 12, True, False, 4),
+    # 8-bit value-pair cell plane (>16-bin TDMs, e.g. the reference
+    # benchmark world's 22 bins): single-chunk, banded, and speed-map
+    # (different cell/risk chunk counts) regimes.
+    ("byte2-small", 256, 64, 40, 13, 15, 22, False, False, 8),
+    ("byte2-forest", 512, 256, 50, 140, 84, 22, False, False, 8),
+    ("byte2-speed-forest", 1024, 1, 50, 140, 84, 22, True, False, 8),
 ]
 
 
@@ -155,9 +162,10 @@ def main():
               f"speed_map={int(speed_map)} fast_trig={int(fast_trig)} "
               f"max rel err {rel:.2e} (tol {tol:.0e})")
         assert rel <= tol, name
-    for name, K, M, T, H, W, B, speed_map, fast_trig in BINNED_CASES:
+    for name, K, M, T, H, W, B, speed_map, fast_trig, cell_bits \
+            in BINNED_CASES:
         ref, got = run_binned_case(name, K, M, T, H, W, B, speed_map,
-                                   fast_trig)
+                                   fast_trig, cell_bits=cell_bits)
         scale = np.maximum(np.abs(ref), 1.0)
         rel = float((np.abs(got - ref) / scale).max())
         worst = max(worst, rel)
@@ -165,7 +173,7 @@ def main():
         status = "OK " if rel <= tol else "FAIL"
         print(f"{status} {name:16s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
               f"bins={B} speed_map={int(speed_map)} "
-              f"fast_trig={int(fast_trig)} "
+              f"fast_trig={int(fast_trig)} cell_bits={cell_bits} "
               f"max rel err {rel:.2e} (tol {tol:.0e})")
         assert rel <= tol, name
     # Horizon-loop unrolling must be semantics-identical on hardware for
@@ -180,22 +188,6 @@ def main():
         print(f"{status} bin-forest t_unroll={tu} max rel err {rel:.2e} "
               f"(tol 1e-04)")
         assert rel <= 1e-4, f"t_unroll={tu}"
-    # 8-bit value-pair cell plane (>16-bin TDMs, e.g. the reference
-    # benchmark world's 22 bins): single-chunk, banded, and speed-map
-    # (different cell/risk chunk counts) regimes on hardware.
-    for name, K, M, T, H, W, B, speed_map in [
-            ("byte2-small", 256, 64, 40, 13, 15, 22, False),
-            ("byte2-forest", 512, 256, 50, 140, 84, 22, False),
-            ("byte2-speed-forest", 1024, 1, 50, 140, 84, 22, True)]:
-        ref, got = run_binned_case(name, K, M, T, H, W, B, speed_map,
-                                   False, cell_bits=8)
-        rel = float((np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)).max())
-        worst = max(worst, rel)
-        status = "OK " if rel <= 1e-4 else "FAIL"
-        print(f"{status} {name:16s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
-              f"bins={B} speed_map={int(speed_map)} cell_bits=8 "
-              f"max rel err {rel:.2e} (tol 1e-04)")
-        assert rel <= 1e-4, name
     task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(
         7, 1024, 256, 50, 11, 11, cliffs=True)
     packed = pack_map_words(jnp.asarray(lin), jnp.asarray(ang),
