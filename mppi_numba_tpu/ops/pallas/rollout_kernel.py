@@ -327,10 +327,15 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
     return None
 
 
+DEFAULT_BAND_UNROLL = 4   # chunks per banded-walk iteration (measured r2:
+                          # 4 took the uncropped 250x250 51.4 -> 32.9 ms)
+
+
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                            n_cell_chunks, n_mask_chunks, n_risk_chunks,
                            fast_trig, step_fn, banded, speed_map,
-                           cell_bits=4, t_unroll=1):
+                           cell_bits=4, t_unroll=1,
+                           band_unroll=DEFAULT_BAND_UNROLL):
     if speed_map:
         risk_ref, lut_ref, v_ref, w_ref, cost_ref = refs
     else:
@@ -387,7 +392,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     # it is correct for arbitrary registered dynamics models).  The two
     # reductions per step are shared by the nibble / mask / risk walks.
     def banded_walk(cell_lo, cell_hi, cell, table3, cells_per_chunk,
-                    idx_shift, n_data, unroll=4):
+                    idx_shift, n_data, unroll=band_unroll):
         c_lo = cell_lo // cells_per_chunk
         c_hi = cell_hi // cells_per_chunk + 1
 
@@ -529,13 +534,14 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "T", "fast_trig", "interpret",
                                     "m_tile", "step_fn", "banded",
-                                    "cell_bits", "t_unroll"))
+                                    "cell_bits", "t_unroll", "band_unroll"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, risk_words=None,
                                         *, H, W, T,
                                         fast_trig=False, interpret=False,
                                         m_tile=None, step_fn=None,
-                                        banded=True, cell_bits=4, t_unroll=1):
+                                        banded=True, cell_bits=4, t_unroll=1,
+                                        band_unroll=DEFAULT_BAND_UNROLL):
     """Fused rollout with packed cell-plane maps.
 
     Args:
@@ -598,7 +604,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                n_risk_chunks=n_risk_chunks,
                                fast_trig=fast_trig, step_fn=step_fn,
                                banded=banded, speed_map=speed_map,
-                               cell_bits=cell_bits, t_unroll=t_unroll)
+                               cell_bits=cell_bits, t_unroll=t_unroll,
+                               band_unroll=band_unroll)
     in_specs = [
         pl.BlockSpec((8, LANES), lambda mi, ki: (0, 0),
                      memory_space=pltpu.VMEM),

@@ -42,6 +42,16 @@ def binned_case(H, W):
                 fast_trig=True, t_unroll=tu), v_all)
         print(json.dumps({"kernel": "binned", "shape": [H, W],
                           "t_unroll": tu, "ms": round(ms, 3)}), flush=True)
+    # Banded-walk chunk unroll (DEFAULT_BAND_UNROLL; only reachable in the
+    # banded regime, i.e. the realistic shapes below).
+    for bu in (2, 4, 8):
+        ms = chained_kernel_time(
+            lambda v, bu=bu: terrain_rollout_costs_pallas_binned(
+                nib, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
+                fast_trig=True, band_unroll=bu), v_all)
+        print(json.dumps({"kernel": "binned", "shape": [H, W],
+                          "band_unroll": bu, "ms": round(ms, 3)}),
+              flush=True)
 
 
 if __name__ == "__main__":

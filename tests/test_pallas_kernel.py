@@ -296,6 +296,22 @@ def test_byte2_kernel_speed_map_matches_xla(shape):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("band_unroll", [1, 8])
+def test_banded_walk_chunk_unroll_matches_oracle(band_unroll):
+    """``band_unroll`` (chunks per banded-walk iteration) is a pure
+    scheduling knob: over-shot chunks are clamped-and-masked, so any value
+    must be semantics-identical (the tuning probe sweeps it on hardware)."""
+    H, W = 96, 92           # banded regime (18 nibble chunks)
+    task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+        seed=23, K=128, M=8, T=12, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=12, interpret=True, band_unroll=band_unroll))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
 def test_byte2_kernel_t_unroll_matches_oracle():
     H, W = 96, 92
     task, packed, b2, maskw, u_cur, noise = build_byte2_problem(
