@@ -52,6 +52,22 @@ def binned_case(H, W):
         print(json.dumps({"kernel": "binned", "shape": [H, W],
                           "band_unroll": bu, "ms": round(ms, 3)}),
               flush=True)
+    # Sublane tile sweep: supported() returns the LARGEST tile that fits,
+    # but the byte kernel measured 256 beating 1024 by 13% — smaller tiles
+    # may pipeline the chunk walk better here too.
+    from mppi_numba_tpu.ops.pallas.rollout_kernel import (
+        pallas_rollout_binned_supported)
+    mt_max = pallas_rollout_binned_supported(1024, H * W, T, 12,
+                                             speed_map=False)
+    for mt in (32, 64, 128, 256):
+        if mt > mt_max:
+            continue
+        ms = chained_kernel_time(
+            lambda v, mt=mt: terrain_rollout_costs_pallas_binned(
+                nib, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
+                fast_trig=True, m_tile=mt), v_all)
+        print(json.dumps({"kernel": "binned", "shape": [H, W],
+                          "m_tile": mt, "ms": round(ms, 3)}), flush=True)
 
 
 if __name__ == "__main__":
