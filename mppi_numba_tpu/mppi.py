@@ -177,7 +177,8 @@ class MPPIPlanner:
             model=getattr(self.cfg, "model", "unicycle"),
             # Optional rollout-backend override (set ``cfg.backend`` after
             # construction): 'xla', 'pallas', 'pallas_binned',
-            # 'pallas_binned8', or any of those + '_interpret' — used to
+            # 'pallas_binned2', 'pallas_binned8', or any of those +
+            # '_interpret' — used to
             # force a specific kernel path for debugging / CPU validation.
             backend=getattr(self.cfg, "backend", "auto"),
         )

@@ -287,6 +287,7 @@ def terrain_rollout_costs_pallas(packed_words, task_vec, v_all, w_all,
 
 NIB_CELLS_PER_CHUNK = 4 * LANES     # 512
 BYTE2_CELLS_PER_CHUNK = 2 * LANES   # 256 (cell_bits=8: >16-bin TDMs)
+CRUMB_CELLS_PER_CHUNK = 8 * LANES   # 1024 (cell_bits=2: <=4-bin TDMs)
 MASK_CELLS_PER_CHUNK = 16 * LANES   # 2048
 # Walk strategy threshold: a statically unrolled chunk walk pipelines better
 # (measured: 10.7 vs 12.5 ms at 13 chunks on the 85x84 ROI flagship), while
@@ -304,11 +305,16 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
     mode pass ``False`` to avoid over-reserving (default True for safety).
     ``cell_bits=8`` is the byte-pair layout (``pack_byte_pairs``): 256
     cells per chunk and NO bin-count limit — the cell plane carries decoded
-    int8 traction values instead of nibble bin indices.
+    int8 traction values instead of nibble bin indices.  ``cell_bits=2`` is
+    the crumb layout (``pack_bin_crumbs``): 1024 cells per chunk, needs
+    <= 4 PMF bins.
     """
     if cell_bits == 4 and not (0 < num_pmf_bins <= 16):
         return None
-    cpc = NIB_CELLS_PER_CHUNK if cell_bits == 4 else BYTE2_CELLS_PER_CHUNK
+    if cell_bits == 2 and not (0 < num_pmf_bins <= 4):
+        return None
+    cpc = {2: CRUMB_CELLS_PER_CHUNK, 4: NIB_CELLS_PER_CHUNK,
+           8: BYTE2_CELLS_PER_CHUNK}[cell_bits]
     n_cell_chunks = -(-map_hw // cpc)
     n_mask_chunks = max(8, -(-map_hw // MASK_CELLS_PER_CHUNK))
     # The shared risk plane always packs 4 cells/word (pack_risk_bytes),
@@ -355,11 +361,11 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     lin_lb, lin_ratio = task_ref[0, 14], task_ref[0, 15]
     ang_lb, ang_ratio = task_ref[0, 16], task_ref[0, 17]
     tol2 = tol * tol
-    # Cell-plane layout: 4-bit bin indices (LUT decode) or 8-bit decoded
+    # Cell-plane layout: 2/4-bit bin indices (LUT decode) or 8-bit decoded
     # value pairs (inline lb + ratio * value decode — same arithmetic).
-    cell_cpc = (NIB_CELLS_PER_CHUNK if cell_bits == 4
-                else BYTE2_CELLS_PER_CHUNK)
-    cell_shift = 2 if cell_bits == 4 else 1
+    cell_cpc = {2: CRUMB_CELLS_PER_CHUNK, 4: NIB_CELLS_PER_CHUNK,
+                8: BYTE2_CELLS_PER_CHUNK}[cell_bits]
+    cell_shift = {2: 3, 4: 2, 8: 1}[cell_bits]
 
     m_tile = cost_ref.shape[0]
     shape = (m_tile, LANES)
@@ -456,6 +462,12 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                                          mode="promise_in_bounds")
             ang_tr = jnp.take_along_axis(lut_ang, (byte >> 4) & 0xF, axis=1,
                                          mode="promise_in_bounds")
+        elif cell_bits == 2:
+            code = words >> ((cell & 7) << 2)
+            lin_tr = jnp.take_along_axis(lut_lin, code & 0x3, axis=1,
+                                         mode="promise_in_bounds")
+            ang_tr = jnp.take_along_axis(lut_ang, (code >> 2) & 0x3, axis=1,
+                                         mode="promise_in_bounds")
         else:
             half = words >> ((cell & 1) << 4)
             lin_tr = lin_lb + lin_ratio * (half & 0xFF).astype(f32)
@@ -547,9 +559,12 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     Args:
       nib_words: the cell plane — int32 ``(M, ceil(H*W/4))`` of 4-bit bin
         indices from ``pack_bin_nibbles`` (``cell_bits=4``, needs <= 16
-        PMF bins), or int32 ``(M, ceil(H*W/2))`` of decoded traction value
-        byte pairs from ``pack_byte_pairs`` (``cell_bits=8``, any bin
-        count — e.g. the reference benchmark world's 22 bins).
+        PMF bins), int32 ``(M, ceil(H*W/8))`` of 2-bit bin indices from
+        ``pack_bin_crumbs`` (``cell_bits=2``, needs <= 4 PMF bins, walks
+        half the nibble layout's chunks), or int32 ``(M, ceil(H*W/2))``
+        of decoded traction value byte pairs from ``pack_byte_pairs``
+        (``cell_bits=8``, any bin count — e.g. the reference benchmark
+        world's 22 bins).
       mask_words: int32 ``(ceil(H*W/16),)`` from ``pack_mask_nibbles``.
       lut: float32 ``(8, 128)`` — rows 0/1 hold per-bin linear/angular
         traction (``build_bin_luts``).  Unused (may be None) when
@@ -566,7 +581,7 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
       ``ops.rollout.terrain_rollout_costs`` with
       ``speed_map=(risk_words is not None)``.
     """
-    assert cell_bits in (4, 8), cell_bits
+    assert cell_bits in (2, 4, 8), cell_bits
     M, n_words = nib_words.shape
     K = v_all.shape[1]
     assert K % LANES == 0, K
@@ -576,8 +591,12 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     n_mask_chunks = max(8, n_mask_chunks_data)
     m_pad = _ceil_to(max(M, 8), 8)
     if m_tile is None:
+        # num_pmf_bins only gates layout eligibility (the caller already
+        # chose cell_bits); pass a value that passes so the call sizes the
+        # sublane tile.
         m_tile = pallas_rollout_binned_supported(
-            M, H * W, T, speed_map=risk_words is not None,
+            M, H * W, T, num_pmf_bins=4 if cell_bits == 2 else 16,
+            speed_map=risk_words is not None,
             cell_bits=cell_bits) or MAX_M_TILE
     m_tile = min(m_pad, m_tile)
     m_pad = _ceil_to(m_pad, m_tile)

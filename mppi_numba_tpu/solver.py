@@ -26,8 +26,8 @@ from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 # Sentinel for SolverStatic.cvar_numel: read the traced task.cvar_alpha
 # instead of specializing the executable on a fixed top-k size.
 DYNAMIC_CVAR = -1
-from .ops.packing import (pack_bin_nibbles, pack_byte_pairs, pack_map_words,
-                          pack_mask_nibbles, pack_risk_bytes)
+from .ops.packing import (pack_bin_crumbs, pack_bin_nibbles, pack_byte_pairs,
+                          pack_map_words, pack_mask_nibbles, pack_risk_bytes)
 from .ops.pallas.rollout_kernel import (DEFAULT_T_UNROLL_BINNED,
                                         DEFAULT_T_UNROLL_BYTE, LANES,
                                         MAX_UNROLLED_CHUNKS,
@@ -70,6 +70,14 @@ def resolve_backend(static: SolverStatic) -> str:
     # fewer chunks (and fits VMEM at flagship M on realistic maps).
     if byte_ok and H * W <= 4 * LANES:
         return "pallas"
+    if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
+                                       static.num_steps,
+                                       static.num_pmf_bins,
+                                       speed_map=static.mode == "speed_map",
+                                       cell_bits=2):
+        # <=4-bin TDMs crumb-pack: 1024 cells/chunk halves the nibble
+        # layout's chunk walk (and its VMEM) at identical decode cost.
+        return "pallas_binned2"
     if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
                                        static.num_steps,
                                        static.num_pmf_bins,
@@ -165,8 +173,10 @@ def make_rollout_backend(static: SolverStatic):
     fast_trig = static.fast_trig and static.model == "unicycle"
 
     def pack(lin_bins, ang_bins, lin_grids, ang_grids, maps, task):
-        if backend == "pallas_binned":
-            return (pack_bin_nibbles(lin_bins, ang_bins),
+        if backend in ("pallas_binned", "pallas_binned2"):
+            pack_cells = (pack_bin_nibbles if backend == "pallas_binned"
+                          else pack_bin_crumbs)
+            return (pack_cells(lin_bins, ang_bins),
                     pack_mask_nibbles(maps.obstacle, maps.unknown),
                     build_bin_luts(task, maps.lin_qbins, maps.ang_qbins),
                     pack_risk_bytes(maps.risk) if speed_map else None)
@@ -199,14 +209,15 @@ def make_rollout_backend(static: SolverStatic):
                 fast_trig=fast_trig, step_fn=step_fn, interpret=interpret,
                 t_unroll=DEFAULT_T_UNROLL_BYTE)
             return costs_km[:k]
-        if backend in ("pallas_binned", "pallas_binned8"):
+        if backend in ("pallas_binned", "pallas_binned2", "pallas_binned8"):
             nib, maskw, lut, riskw = payload
             v_all, w_all = _padded_controls(u, noise, task)
+            cell_bits = {"pallas_binned": 4, "pallas_binned2": 2,
+                         "pallas_binned8": 8}[backend]
             costs_km = terrain_rollout_costs_pallas_binned(
                 nib, maskw, lut, build_task_vec(task), v_all, w_all, riskw,
                 H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn,
-                interpret=interpret,
-                cell_bits=8 if backend == "pallas_binned8" else 4,
+                interpret=interpret, cell_bits=cell_bits,
                 t_unroll=DEFAULT_T_UNROLL_BINNED)
             return costs_km[:k]
         return terrain_rollout_costs(payload, task, u, noise,

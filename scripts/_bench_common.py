@@ -16,8 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax.numpy as jnp
 
-from mppi_numba_tpu.ops.packing import (pack_bin_nibbles, pack_mask_nibbles,
-                                        pack_map_words)
+from mppi_numba_tpu.ops.packing import (pack_bin_crumbs, pack_bin_nibbles,
+                                        pack_mask_nibbles, pack_map_words)
 from mppi_numba_tpu.ops.pallas.rollout_kernel import (build_bin_luts,
                                                       build_task_vec)
 from mppi_numba_tpu.types import TerrainTask
@@ -69,6 +69,25 @@ def build_binned_problem(H, W, num_bins=B, seed=0):
     lut = build_bin_luts(task, qbins, qbins)
     v_all, w_all = synth_controls(task)
     return nib, maskw, lut, build_task_vec(task), v_all, w_all
+
+
+def build_crumb_problem(H, W, num_bins=4, seed=0):
+    """Crumb-packed (cell_bits=2, <=4-bin) problem at flagship K/M/T.
+
+    Returns ``(crumbs, maskw, lut, task_vec, v_all, w_all)``.
+    """
+    assert num_bins <= 4
+    rng = np.random.RandomState(seed)
+    lin_bins = jnp.asarray(rng.randint(0, num_bins, (M, H, W)))
+    ang_bins = jnp.asarray(rng.randint(0, num_bins, (M, H, W)))
+    obs = jnp.zeros((H, W), jnp.int8)
+    qbins = jnp.asarray(np.linspace(0, 100, num_bins).astype(np.int8))
+    task = synth_task(H, W)
+    crumbs = pack_bin_crumbs(lin_bins, ang_bins)
+    maskw = pack_mask_nibbles(obs, obs)
+    lut = build_bin_luts(task, qbins, qbins)
+    v_all, w_all = synth_controls(task)
+    return crumbs, maskw, lut, build_task_vec(task), v_all, w_all
 
 
 def build_byte_problem(H, W, seed=0):

@@ -122,10 +122,15 @@ def main():
         ("forest_140x84_byte2_22bin", 140, 84, None, "auto", "tdm", 10),
         ("max_250x250_byte2_22bin_roi", 250, 250, roi_for(250, 250),
          "auto", "tdm", 10),
+        # <=4-bin TDMs route to the 2-bit crumb cell plane (1024
+        # cells/chunk — half the nibble walk): the headline uncropped
+        # 250x250 regime at a practical few-support-point PMF.
+        ("max_250x250_crumb_4bin_full", 250, 250, None, "auto", "tdm", 10),
+        ("forest_140x84_crumb_4bin", 140, 84, None, "auto", "tdm", 30),
     ]
     for label, H, W, roi, backend, mode, n in scenarios:
-        static, maps, task = build(H, W, roi, backend, mode,
-                                   B=22 if "22bin" in label else B)
+        bins = 22 if "22bin" in label else (4 if "4bin" in label else B)
+        static, maps, task = build(H, W, roi, backend, mode, B=bins)
         be = resolve_backend(static)
         try:
             ms = measure(static, maps, task, n)

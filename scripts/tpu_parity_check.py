@@ -96,6 +96,11 @@ BINNED_CASES = [
     ("byte2-small", 256, 64, 40, 13, 15, 22, False, False, 8),
     ("byte2-forest", 512, 256, 50, 140, 84, 22, False, False, 8),
     ("byte2-speed-forest", 1024, 1, 50, 140, 84, 22, True, False, 8),
+    # 2-bit crumb cell plane (<=4-bin TDMs): unrolled, banded (250x250 =
+    # 62 chunks), and speed-map (risk plane walks 2x the cell chunks).
+    ("crumb-small", 256, 64, 40, 13, 15, 4, False, False, 2),
+    ("crumb-250", 512, 256, 50, 250, 250, 4, False, False, 2),
+    ("crumb-speed-250", 1024, 1, 60, 250, 250, 4, True, False, 2),
 ]
 
 
@@ -123,8 +128,9 @@ def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig,
                                      jnp.asarray(qbins[ang_bins]))
         lut = None
     else:
-        cell_plane = pack_bin_nibbles(jnp.asarray(lin_bins),
-                                      jnp.asarray(ang_bins))
+        from mppi_numba_tpu.ops.packing import pack_bin_crumbs
+        pack_cells = pack_bin_nibbles if cell_bits == 4 else pack_bin_crumbs
+        cell_plane = pack_cells(jnp.asarray(lin_bins), jnp.asarray(ang_bins))
         lut = build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins))
     got = np.asarray(terrain_rollout_costs_pallas_binned(
         cell_plane,

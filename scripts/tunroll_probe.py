@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from _bench_common import T, build_binned_problem, build_byte_problem
+from _bench_common import (T, build_binned_problem, build_byte_problem,
+                           build_crumb_problem)
 from mppi_numba_tpu.ops.pallas.rollout_kernel import (
     terrain_rollout_costs_pallas, terrain_rollout_costs_pallas_binned)
 from mppi_numba_tpu.profiling import chained_kernel_time
@@ -70,6 +71,20 @@ def binned_case(H, W):
                           "m_tile": mt, "ms": round(ms, 3)}), flush=True)
 
 
+def crumb_case(H, W):
+    """2-bit cell plane (<=4-bin TDMs) at the long-walk shape it targets."""
+    crumbs, maskw, lut, tv, v_all, w_all = build_crumb_problem(H, W)
+    for tu, bu in ((1, 4), (2, 4), (1, 8), (1, 2)):
+        ms = chained_kernel_time(
+            lambda v, tu=tu, bu=bu: terrain_rollout_costs_pallas_binned(
+                crumbs, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
+                fast_trig=True, cell_bits=2, t_unroll=tu, band_unroll=bu),
+            v_all)
+        print(json.dumps({"kernel": "crumb", "shape": [H, W],
+                          "t_unroll": tu, "band_unroll": bu,
+                          "ms": round(ms, 3)}), flush=True)
+
+
 if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
@@ -79,3 +94,4 @@ if __name__ == "__main__":
     byte_case(9, 11)          # flagship benchmark world (padded)
     binned_case(140, 84)      # forest-size, banded regime
     binned_case(250, 250)     # max_map_dim, banded regime
+    crumb_case(250, 250)      # <=4-bin crumb plane, banded regime

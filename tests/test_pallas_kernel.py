@@ -236,6 +236,78 @@ def test_binned_supported_predicate():
                                            cell_bits=8)
 
 
+# -- crumb (cell_bits=2) cell plane: <=4-bin TDMs ----------------------------
+
+def build_crumb_problem(seed=0, K=128, M=12, T=20, H=9, W=11, B=4,
+                        with_risk=False):
+    """<=4-bin maps: 2-bit crumb plane for the kernel (1024 cells/chunk,
+    half the nibble walk), byte words for the oracle."""
+    from mppi_numba_tpu.ops.packing import pack_bin_crumbs
+
+    assert B <= 4
+    task, _, _, obs, unk, risk, u_cur, noise = build_problem(
+        seed=seed, K=K, M=M, T=T, H=H, W=W)
+    rng = np.random.RandomState(seed + 300)
+    qbins = np.sort(rng.choice(101, size=B, replace=False)).astype(np.int8)
+    lin_bins = rng.randint(0, B, (M, H, W))
+    ang_bins = rng.randint(0, B, (M, H, W))
+    packed = pack_map_words(jnp.asarray(qbins[lin_bins]),
+                            jnp.asarray(qbins[ang_bins]),
+                            jnp.asarray(obs), jnp.asarray(unk),
+                            jnp.asarray(risk) if with_risk else None)
+    crumbs = pack_bin_crumbs(jnp.asarray(lin_bins), jnp.asarray(ang_bins))
+    maskw = pack_mask_nibbles(jnp.asarray(obs), jnp.asarray(unk))
+    lut = build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins))
+    if with_risk:
+        return task, packed, crumbs, maskw, lut, u_cur, noise, jnp.asarray(risk)
+    return task, packed, crumbs, maskw, lut, u_cur, noise
+
+
+@pytest.mark.parametrize("shape", [(9, 11),      # single 1024-cell chunk
+                                   (40, 40),     # 2 chunks, unrolled walk
+                                   (160, 128)])  # 20 chunks -> banded walk
+def test_crumb_kernel_matches_xla_rollout(shape):
+    H, W = shape
+    task, packed, crumbs, maskw, lut, u_cur, noise = build_crumb_problem(
+        seed=31, K=128, M=8, T=12, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        crumbs, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=12, interpret=True, cell_bits=2))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(40, 40),     # all walks unrolled
+                                   (160, 128)])  # cell + risk walks banded
+def test_crumb_kernel_speed_map_matches_xla(shape):
+    """cell_bits=2 with the shared risk plane: the cell plane walks 1024
+    cells/chunk while the risk plane keeps its 512-cells/chunk layout."""
+    from mppi_numba_tpu.ops.packing import pack_risk_bytes
+
+    H, W = shape
+    task, packed, crumbs, maskw, lut, u_cur, noise, risk = build_crumb_problem(
+        seed=32, K=128, M=4, T=12, H=H, W=W, with_risk=True)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise,
+                                           speed_map=True))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        crumbs, maskw, lut, build_task_vec(task), v_all, w_all,
+        pack_risk_bytes(risk), H=H, W=W, T=12, interpret=True, cell_bits=2))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_crumb_supported_predicate():
+    # <=4-bin TDMs crumb-pack at flagship M on both realistic shapes...
+    assert pallas_rollout_binned_supported(1024, 140 * 84, 100, 4,
+                                           cell_bits=2)
+    assert pallas_rollout_binned_supported(1024, 250 * 250, 100, 4,
+                                           cell_bits=2)
+    # ...but 5+ bins don't fit 2 bits.
+    assert pallas_rollout_binned_supported(1024, 140 * 84, 100, 5,
+                                           cell_bits=2) is None
+
+
 # -- byte-pair (cell_bits=8) cell plane: >16-bin TDMs ------------------------
 
 def build_byte2_problem(seed=0, K=128, M=8, T=15, H=9, W=11, B=22,

@@ -174,6 +174,31 @@ def test_sharded_solve_byte2_backend_matches_single_device():
                                    atol=2e-3)
 
 
+def test_sharded_solve_crumb_backend_matches_single_device():
+    """<=4-bin maps under k-sharding run the 2-bit crumb kernel per shard;
+    pins the sharded-path x cell_bits=2 interaction."""
+    import dataclasses
+
+    S = 2
+    static, maps, task, u0, keys = build_case(S, B=4, cvar_numel=3)
+    static = dataclasses.replace(static, num_pmf_bins=4,
+                                 backend="pallas_binned2_interpret")
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    u_sh, costs_sh = get_sharded_terrain_solver(static, mesh)(keys, maps,
+                                                              task, u0)
+    single = get_terrain_solver(static)
+    for si in range(S):
+        maps_s = jax.tree.map(lambda x: x[si], maps)
+        task_s = jax.tree.map(lambda x: x[si], task)
+        u_single, aux = single(keys[si], maps_s, task_s, u0[si])
+        np.testing.assert_allclose(np.asarray(u_sh)[si],
+                                   np.asarray(u_single), rtol=2e-4,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(costs_sh)[si],
+                                   np.asarray(aux.costs), rtol=2e-4,
+                                   atol=2e-3)
+
+
 def test_sharded_solver_is_cached():
     static, maps, task, u0, keys = build_case(2)
     mesh = make_mesh(1, 8, devices=jax.devices()[:8])

@@ -106,6 +106,16 @@ def test_resolve_backend_routing_over16_bins(monkeypatch):
     assert solver_mod.resolve_backend(static_for(22, (11, 11))) == "pallas"
     assert solver_mod.resolve_backend(
         static_for(12, (140, 84))) == "pallas_binned"
+    # <=4-bin TDMs on realistic maps route to the 2-bit crumb plane (half
+    # the nibble walk); 5 bins no longer fit a crumb.
+    assert solver_mod.resolve_backend(
+        static_for(4, (140, 84))) == "pallas_binned2"
+    assert solver_mod.resolve_backend(
+        static_for(4, (250, 250))) == "pallas_binned2"
+    assert solver_mod.resolve_backend(
+        static_for(5, (250, 250))) == "pallas_binned"
+    # ...while tiny maps keep the single-gather byte kernel even at 4 bins.
+    assert solver_mod.resolve_backend(static_for(4, (11, 11))) == "pallas"
     assert solver_mod.resolve_backend(
         static_for(22, (140, 84))) == "pallas_binned8"
     assert solver_mod.resolve_backend(
@@ -120,6 +130,28 @@ def test_resolve_backend_routing_over16_bins(monkeypatch):
         static_for(22, (250, 250), mode="det_dyn")) == "pallas_binned8"
     assert solver_mod.resolve_backend(
         static_for(22, (250, 250), mode="speed_map")) == "pallas_binned8"
+
+
+@pytest.mark.parametrize("mode", ["tdm", "det_dyn", "speed_map"])
+@pytest.mark.parametrize("roi", [None, (15, 17)])
+def test_full_solve_4bin_crumbs(mode, roi):
+    """4-bin TDM: the crumb backend (2-bit cell plane) must match the
+    oracle through the full solve, including ROI cropping and the
+    speed-map risk plane."""
+    maps, task, static_for = build(mode, roi, B=4)
+    key = jax.random.PRNGKey(23)
+
+    def solve(backend):
+        fn = get_terrain_solver(static_for(backend))
+        return fn(key, maps, task, jnp.zeros((T, 2), jnp.float32))
+
+    u_ref, aux_ref = solve("xla")
+    u_got, aux_got = solve("pallas_binned2_interpret")
+    np.testing.assert_allclose(np.asarray(aux_got.costs),
+                               np.asarray(aux_ref.costs),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-4, atol=1e-3)
 
 
 def test_full_solve_over16_bins_byte2():
