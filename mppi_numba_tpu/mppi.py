@@ -71,6 +71,7 @@ class MPPIPlanner:
         self._last_aux = None
         self._task_device = None
         self._last_useq_np = None
+        self._compacted_planes = None
 
     # -- setup ---------------------------------------------------------------
 
@@ -101,6 +102,9 @@ class MPPIPlanner:
         self.lin_tdm = lin_tdm
         self.ang_tdm = ang_tdm
         self.tdm_set = True
+        # Invalidate the bin-plane compaction cache: it is derived from the
+        # TDM PMFs (recomputed lazily on the next solve).
+        self._compacted_planes = None
 
     def check_solve_conditions(self):
         if not self.params_set:
@@ -160,8 +164,9 @@ class MPPIPlanner:
                    * float(np.max(np.abs(self.params["wrange"]))) * ang_ub)
         return SolverStatic(
             roi_shape=self._roi_shape((H, W)),
-            num_pmf_bins=int(max(self.lin_tdm.num_pmf_bins,
-                                 self.ang_tdm.num_pmf_bins)),
+            # Effective (support-compacted) bin count — see _compact_planes;
+            # equals max(declared lin, ang) bins when nothing compacts.
+            num_pmf_bins=int(self._compact_planes()[4]),
             mode=mode,
             num_steps=self.num_steps,
             num_control_rollouts=self.num_control_rollouts,
@@ -216,13 +221,65 @@ class MPPIPlanner:
             return None
         return (rH, rW)
 
+    def _compact_planes(self):
+        """PMF bin planes with globally-zero-mass rows dropped, memoized.
+
+        A bin whose int8 mass is zero in EVERY cell can never be selected by
+        the sampling rank ``sum(cum < sampled)`` (``ops/sampling.py``): its
+        cumulative mass equals its predecessor's, so it contributes to the
+        rank exactly when the walk passes it, landing the full-plane draw on
+        the same retained bin the compacted plane selects directly — the
+        sampled traction VALUES (and hence the whole solve) are
+        bit-identical (tests/test_planner.py::test_pmf_support_compaction).
+        Row 0 is always kept: ``sampled_cum == 0`` (a zero uniform) selects
+        bin 0 unconditionally in the reference walk semantics (reference:
+        mppi_numba/terrain.py:679-694).
+
+        The payoff is routing: det-dynamics condensations are one-hot over
+        few bins and speed-map/costmap PMFs use exactly {pad, nominal}, so
+        the effective bin count drops to <= 4 and the solve takes the 2-bit
+        crumb kernel (or <= 16 for the 4-bit nibble kernel) regardless of
+        the declared bin count.  Opt out with ``cfg.compact_pmf_support =
+        False``.
+        """
+        if self._compacted_planes is not None:
+            return self._compacted_planes
+        lin, ang = self.lin_tdm, self.ang_tdm
+        declared = int(max(lin.num_pmf_bins, ang.num_pmf_bins))
+        if not getattr(self.cfg, "compact_pmf_support", True):
+            self._compacted_planes = (lin.pmf_grid_device, lin.qbin_values,
+                                      ang.pmf_grid_device, ang.qbin_values,
+                                      declared)
+            return self._compacted_planes
+
+        def compact(tdm):
+            pmf = getattr(tdm, "padded_pmf_host", None)
+            if pmf is None:
+                pmf = np.asarray(tdm.pmf_grid_device)
+            qbins = getattr(tdm, "qbin_values_host", None)
+            if qbins is None:
+                qbins = np.asarray(tdm.qbin_values)
+            used = (pmf != 0).any(axis=(1, 2))
+            used[0] = True
+            if used.all():
+                return tdm.pmf_grid_device, tdm.qbin_values, len(used)
+            return (jnp.asarray(pmf[used]), jnp.asarray(qbins[used]),
+                    int(used.sum()))
+
+        lin_pmf, lin_q, n_lin = compact(lin)
+        ang_pmf, ang_q, n_ang = compact(ang)
+        self._compacted_planes = (lin_pmf, lin_q, ang_pmf, ang_q,
+                                  max(n_lin, n_ang))
+        return self._compacted_planes
+
     def _map_inputs(self):
         lin, ang = self.lin_tdm, self.ang_tdm
+        lin_pmf, lin_q, ang_pmf, ang_q, _ = self._compact_planes()
         return MapInputs(
-            lin_pmf=lin.pmf_grid_device,
-            ang_pmf=ang.pmf_grid_device,
-            lin_qbins=lin.qbin_values,
-            ang_qbins=ang.qbin_values,
+            lin_pmf=lin_pmf,
+            ang_pmf=ang_pmf,
+            lin_qbins=lin_q,
+            ang_qbins=ang_q,
             obstacle=lin.obstacle_map_device,
             unknown=lin.unknown_map_device,
             risk=lin.risk_traction_map_device,

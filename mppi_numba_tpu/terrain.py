@@ -463,8 +463,14 @@ class TDM:
             self.pmf_grid, self.max_speed_padding, self.dt, res,
             self.xlimits, self.ylimits)
         self.pmf_grid_device = jnp.asarray(padded_pmf)
-        self.qbin_values = jnp.asarray(
-            quantize_bin_values(self.bin_values, self.bin_values_bounds))
+        qbins_host = quantize_bin_values(self.bin_values,
+                                         self.bin_values_bounds)
+        self.qbin_values = jnp.asarray(qbins_host)
+        # Host copies of the padded planes, so consumers that reason about
+        # the PMF support (MPPIPlanner's bin-plane compaction) never pay a
+        # device fetch on this high-RTT link.
+        self.padded_pmf_host = padded_pmf
+        self.qbin_values_host = qbins_host
 
         if risk_traction_map is not None:
             padded_risk, _, _ = self.set_padding_risk_traction(

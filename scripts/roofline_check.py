@@ -35,10 +35,11 @@ import numpy as np
 import jax
 
 from _bench_common import (K, M, T, B, RES, VMAX,  # noqa: F401 (RES/VMAX
-                           build_binned_problem)   # used by the cone model)
+                           build_binned_problem,   # used by the cone model)
+                           build_crumb_problem)
 from mppi_numba_tpu.ops.pallas.rollout_kernel import (
-    LANES, NIB_CELLS_PER_CHUNK, pallas_rollout_binned_supported,
-    terrain_rollout_costs_pallas_binned)
+    CRUMB_CELLS_PER_CHUNK, LANES, NIB_CELLS_PER_CHUNK,
+    pallas_rollout_binned_supported, terrain_rollout_costs_pallas_binned)
 from mppi_numba_tpu.profiling import chained_kernel_time
 
 
@@ -58,11 +59,27 @@ def measure(H, W, banded, n=20):
     return ms, n_chunks, programs, m_tile
 
 
-def avg_band_chunks(H, W, n_chunks):
+def measure_crumb(H, W, n=20):
+    """The 2-bit crumb layout at the same flagship K/M/T (4-bin PMF)."""
+    crumbs, maskw, lut, tv, v_all, w_all = build_crumb_problem(H, W)
+    m_tile = pallas_rollout_binned_supported(M, H * W, T, 4,
+                                             speed_map=False, cell_bits=2)
+    assert m_tile, (H, W)
+    ms = chained_kernel_time(
+        lambda v: terrain_rollout_costs_pallas_binned(
+            crumbs, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
+            fast_trig=True, cell_bits=2), v_all, num_iters=n)
+    n_chunks = -(-(H * W) // CRUMB_CELLS_PER_CHUNK)
+    m_pad = -(-max(M, 8) // 8) * 8
+    m_tile = min(m_pad, m_tile)
+    programs = (-(-m_pad // m_tile) * (K // LANES))
+    return ms, n_chunks, programs, m_tile
+
+
+def avg_band_chunks(H, W, n_chunks, cpc=NIB_CELLS_PER_CHUNK):
     """Average chunks/step of the round-2 reachability cone — an upper
     bound on the exact occupancy band the kernel walks since round 3."""
     mcps = VMAX * 1.0 * 0.1 / RES      # max decoded traction = 1.0
-    cpc = NIB_CELLS_PER_CHUNK
     tot = 0.0
     for t in range(T):
         reach = t * mcps + 2.0
@@ -114,6 +131,21 @@ def main():
                 * progs * T / 1e6)
         print(json.dumps({
             "shape": [H, W], "chunks_total": c,
+            "avg_band_chunks": round(avg_c, 1), "programs": progs,
+            "m_tile": m_tile, "achieved_ms": round(ms, 3),
+            "roofline_ms": round(pred, 3),
+            "banded_overhead_x": round(ms / pred, 2)}), flush=True)
+
+    # 3. The 2-bit crumb layout (<=4-bin TDMs): same gather primitive, half
+    # the nibble layout's chunks — predicted from the SAME nibble-ladder
+    # slope with crumb chunk geometry.
+    for H, W in ((140, 84), (250, 250)):
+        ms, c, progs, m_tile = measure_crumb(H, W)
+        avg_c = avg_band_chunks(H, W, c, cpc=CRUMB_CELLS_PER_CHUNK)
+        pred = ((intercept + slope * avg_c) * (m_tile / 256.0)
+                * progs * T / 1e6)
+        print(json.dumps({
+            "layout": "crumb", "shape": [H, W], "chunks_total": c,
             "avg_band_chunks": round(avg_c, 1), "programs": progs,
             "m_tile": m_tile, "achieved_ms": round(ms, 3),
             "roofline_ms": round(pred, 3),

@@ -240,3 +240,66 @@ def test_solver_num_opt_iterations_chain():
     # Fused-vs-eager reassociation: tolerate a few ulps.
     np.testing.assert_allclose(np.asarray(got), np.asarray(u),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pmf_support_compaction_bit_identical():
+    """The planner drops globally-zero-mass PMF rows before staging
+    (mppi.py::_compact_planes): the effective bin count shrinks for
+    routing, and the solve output is BIT-identical to the uncompacted
+    planes (zero-mass bins are never selected by the sampling rank)."""
+    H = W = 9
+    B = 12
+    rng = np.random.RandomState(5)
+    # Mass only in rows {0, 4, 9} of 12 declared bins.
+    pmf = np.zeros((B, H, W), np.int8)
+    a = rng.randint(0, 101, (H, W))
+    b = rng.randint(0, 101 - 50, (H, W))
+    pmf[0] = (a * 0.3).astype(np.int8)
+    pmf[4] = (b * 0.3).astype(np.int8)
+    pmf[9] = 100 - pmf[0] - pmf[4]
+    bin_values = np.linspace(0.0, 1.0, B)
+    tdm_dict = dict(res=1.0, xlimits=(0, W), ylimits=(0, H),
+                    bin_values=bin_values,
+                    bin_values_bounds=(0.0, 1.0),
+                    det_dynamics_cvar_alpha=1.0)
+    params = dict(
+        dt=0.1, x0=np.array([1.5, 1.5, 0.5]), xgoal=np.array([7.0, 7.0]),
+        goal_tolerance=0.5, v_post_rollout=0.01, cvar_alpha=0.5,
+        alpha_dyn=1.0, dist_weight=1, lambda_weight=1.0, num_opt=1,
+        u_std=np.array([1.0, 1.5]), vrange=np.array([0.0, 2.0]),
+        wrange=np.array([-3.0, 3.0]))
+
+    def run(compact):
+        cfg = Config(T=3.0, dt=0.1, num_grid_samples=16,
+                     num_control_rollouts=128, seed=7, use_tdm=True,
+                     max_map_dim=(15, 15))
+        cfg.compact_pmf_support = compact
+        lin, ang = TDM(cfg), TDM(cfg)
+        for t in (lin, ang):
+            t.set_TDM_from_PMF_grid(pmf.copy(), tdm_dict)
+        pl = MPPIPlanner(cfg)
+        pl.setup(params, lin, ang)
+        u = pl.solve()
+        return u, pl._static(), pl._map_inputs()
+
+    u_c, st_c, maps_c = run(True)
+    u_f, st_f, maps_f = run(False)
+    assert st_f.num_pmf_bins == B
+    assert st_c.num_pmf_bins == 3
+    assert maps_c.lin_pmf.shape[0] == 3
+    assert maps_c.lin_qbins.shape[0] == 3
+    # Bit-identical solves: same seed, same sampled traction values.
+    np.testing.assert_array_equal(u_c, u_f)
+
+
+def test_pmf_support_compaction_speed_map_routes_crumb():
+    """Speed-map mode's PMF support is exactly {padding, nominal}: the
+    effective bin count is 2, which (on TPU) routes the realistic-map
+    solve to the 2-bit crumb kernel regardless of the declared count."""
+    cfg, planner, params, _ = make_planner("speed")
+    static = planner._static()
+    assert static.num_pmf_bins == 2
+    # Routing on a TPU backend would pick the crumb layout for this count
+    # at realistic map sizes (tests/test_solver_backends.py pins that);
+    # here just confirm the CPU solve still matches its own output shape.
+    assert planner.solve().shape == (planner.num_steps, 2)
