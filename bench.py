@@ -164,6 +164,21 @@ def main_with_retry():
             return
         reexec()
 
+    # Liveness pre-probe (subprocess; this process has not touched the
+    # device yet): a wedged worker is reported as "worker unresponsive"
+    # with rc=4 in ~75 s, so driver artifacts distinguish an environment
+    # outage from a code hang (the watchdog's rc=3) without burning the
+    # full 420/600 s watchdog cycle.
+    probe_s = float(os.environ.get("MPPI_BENCH_PROBE_S", 75))
+    if probe_s > 0:
+        from mppi_numba_tpu.profiling import device_liveness_probe
+        alive, detail = device_liveness_probe(probe_s)
+        if not alive:
+            print("TPU worker unresponsive ({}); environment outage, "
+                  "not a code hang".format(detail), file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(4)
+
     # Normal run ~60-90 s incl. compile; 420 s (600 s for the retry, which
     # also rides out a worker restart) only fires on a genuine wedge, with
     # slack for a cold compile cache on a busy shared worker.

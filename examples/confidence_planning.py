@@ -15,11 +15,17 @@ realization drawn from the ground-truth PMF grids.
 Usage:
     python examples/confidence_planning.py [conf_thres] [tdm_models_dir]
     python examples/confidence_planning.py 0.3 --gif
+    python examples/confidence_planning.py --gt-nn
 
 ``--gif`` renders the closed-loop episode as an animated GIF
 (``examples/conf_thres=<t>_trained_nn.gif``) with per-step planned
 rollouts, matching the reference's committed media set
 (reference: example_gifs/conf_thres={0.0,0.3,0.6}_trained_nn.gif).
+
+``--gt-nn`` reproduces example_gifs/gt_nn.gif instead: the planner runs on
+the traction model trained IN the simulated environment (ground-truth
+wp_forest1 PMFs — the in-domain prediction), rendered reference-style over
+the map's semantic color image with the "NN trained in this env." stamp.
 
 With no real ``tdm_models`` directory available, a synthetic map with the
 same structure is generated so the script stays self-contained.
@@ -152,9 +158,54 @@ def render_gif(planner, gt_grid, cfg, params, pred, unknown, conf_thres,
     print("saved", out)
 
 
+def render_gt_nn_gif(planner, gt_grid, cfg, params, gt, x0, xgoal,
+                     xlimits, ylimits, max_steps=400, stride=2):
+    """Reference-style episode GIF on the in-domain model
+    (example_gifs/gt_nn.gif): semantic color-image background, white
+    past-states line, "NN trained in this env." stamp."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mppi_numba_tpu.visualization import render_episode_gif
+
+    frames = []
+
+    def capture(t, xhist_prefix):
+        if t % stride == 0:
+            frames.append((xhist_prefix.copy(), planner.get_state_rollout()))
+
+    logger = trial(planner, gt_grid, cfg.dt, max_steps=max_steps,
+                   mppi_params=params, return_history=True, on_step=capture)
+    xhist = logger["xhist"]
+    xhist = xhist[~np.isnan(xhist[:, 0])]
+    frames.append((xhist, planner.get_state_rollout()))
+    print("success={} time_to_goal={}".format(
+        logger["success"], round(logger.get("time_to_goal", float("nan")), 2)))
+
+    # Background: the map's semantic color image (id2rgb_map[color_indices],
+    # the same layer behind the reference's gt_nn.gif frames).
+    id2rgb = gt["id2rgb_map"]
+    idx = np.asarray(gt["color_indices"])
+    rgb = np.zeros(idx.shape + (3,), dtype=float)
+    for cid, col in id2rgb.items():
+        rgb[idx == cid] = np.asarray(col, dtype=float)[:3]
+    if rgb.max() > 1.0:
+        rgb = rgb / 255.0
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(rgb, origin="lower",
+              extent=[xlimits[0], xlimits[1], ylimits[0], ylimits[1]])
+    ax.set_aspect("equal", adjustable="box")
+    out = render_episode_gif(
+        fig, ax, frames, x0, xgoal, params["goal_tolerance"], cfg.dt,
+        "examples/gt_nn.gif", steps_per_frame=stride, past_color="w",
+        caption="NN trained in this env.")
+    print("saved", out)
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--gif"]
+    args = [a for a in sys.argv[1:] if a not in ("--gif", "--gt-nn")]
     make_gif = "--gif" in sys.argv[1:]
+    gt_nn = "--gt-nn" in sys.argv[1:]
     conf_thres = float(args[0]) if len(args) > 0 else 0.3
     models_dir = args[1] if len(args) > 1 else DEFAULT_TDM_MODELS
 
@@ -164,6 +215,12 @@ def main():
     else:
         pred, gt = synth_tdm()
         print("tdm_models not found; using a synthetic map")
+    if gt_nn:
+        # In-domain: the planner's model is the one trained in the simulated
+        # env (reference gt_nn.gif), so there is no cross-domain confidence
+        # mask to threshold — only never-observed cells stay unknown.
+        pred = gt
+        conf_thres = -1.0
 
     res = float(pred["res"])
     H, W = pred["lin_pmf_grid"].shape[1:]
@@ -259,6 +316,10 @@ def main():
     planner = MPPIPlanner(cfg)
     planner.setup(params, lin_tdm, ang_tdm)
 
+    if gt_nn:
+        render_gt_nn_gif(planner, gt_grid, cfg, params, gt, x0, xgoal,
+                         xlimits, ylimits)
+        return
     if make_gif:
         render_gif(planner, gt_grid, cfg, params, pred, unknown, conf_thres,
                    x0, xgoal, xlimits, ylimits)

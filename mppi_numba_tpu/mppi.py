@@ -72,6 +72,7 @@ class MPPIPlanner:
         self._task_device = None
         self._last_useq_np = None
         self._compacted_planes = None
+        self._compacted_token = None
 
     # -- setup ---------------------------------------------------------------
 
@@ -242,9 +243,16 @@ class MPPIPlanner:
         the declared bin count.  Opt out with ``cfg.compact_pmf_support =
         False``.
         """
-        if self._compacted_planes is not None:
-            return self._compacted_planes
         lin, ang = self.lin_tdm, self.ang_tdm
+        # Key the memo on the TDMs' content tokens so in-place updates
+        # (reset + set_TDM_from_* without re-calling set_tdm) never serve
+        # stale planes (round-3 advisor finding).
+        token = (id(lin), getattr(lin, "_content_version", None),
+                 id(ang), getattr(ang, "_content_version", None))
+        if (self._compacted_planes is not None
+                and self._compacted_token == token):
+            return self._compacted_planes
+        self._compacted_token = token
         declared = int(max(lin.num_pmf_bins, ang.num_pmf_bins))
         if not getattr(self.cfg, "compact_pmf_support", True):
             self._compacted_planes = (lin.pmf_grid_device, lin.qbin_values,
@@ -261,6 +269,16 @@ class MPPIPlanner:
                 qbins = np.asarray(tdm.qbin_values)
             used = (pmf != 0).any(axis=(1, 2))
             used[0] = True
+            # Clamp-fidelity guard: when a column's total mass is below the
+            # max possible sampled rank (ceil(u*100*alpha_dyn) <= 100), the
+            # CDF walk runs off the end and decode_bins' take clamps to the
+            # LAST row of the plane it was given.  Keeping the declared last
+            # bin makes the clamp target identical pre/post compaction even
+            # for unnormalized PMF grids (round-3 advisor finding); for
+            # well-formed grids (every column sums to 100, incl. the pad
+            # ring) this keeps compaction maximally tight.
+            if int(pmf.astype(np.int32).sum(axis=0).min()) < 100:
+                used[-1] = True
             if used.all():
                 return tdm.pmf_grid_device, tdm.qbin_values, len(used)
             return (jnp.asarray(pmf[used]), jnp.asarray(qbins[used]),

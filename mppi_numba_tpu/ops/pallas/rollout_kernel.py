@@ -433,8 +433,15 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                                  jnp.zeros(shape, jnp.int32))
 
     n_mask_data = min(n_mask_chunks, -(-(H * W) // MASK_CELLS_PER_CHUNK))
+    # The risk plane packs 4 cells/word regardless of cell_bits, so with the
+    # 2-bit crumb layout it has 2x the cell plane's chunk count — it can be
+    # the only plane that needs the band (e.g. 100x100: 10 cell chunks,
+    # 20 risk chunks).  Gate on all three walks or the risk banded_walk
+    # would read cell_lo/cell_hi that were never assigned.
     use_band = banded and (n_cell_chunks > MAX_UNROLLED_CHUNKS
-                           or n_mask_data > MAX_UNROLLED_CHUNKS)
+                           or n_mask_data > MAX_UNROLLED_CHUNKS
+                           or (speed_map
+                               and n_risk_chunks > MAX_UNROLLED_CHUNKS))
 
     def step(t, carry):
         x, y, hd, cost, dist2, reachedf = carry

@@ -88,6 +88,39 @@ def chained_kernel_time(kernel_fn, v0, num_iters=20, reps=3,
     return 1000.0 * best
 
 
+def device_liveness_probe(deadline_s=75.0, platform=None):
+    """Check the accelerator answers a trivial computation within a deadline.
+
+    The tethered TPU worker has a documented wedge mode where even
+    ``jnp.ones((8, 8)).sum()`` blocks for hours; a wedged in-process JAX
+    client cannot recover, so the probe runs in a SUBPROCESS (killed on
+    timeout — never leaves a second live TPU client behind).  Returns
+    ``(alive: bool, detail: str)``; run it BEFORE this process touches the
+    device so benchmark artifacts can name "worker unresponsive" in under
+    ~deadline_s instead of burning a full watchdog cycle.
+    """
+    import subprocess
+    import sys
+    # ``platform`` forces a backend via jax.config.update — the ONLY
+    # reliable override here, since this environment's sitecustomize
+    # clobbers a JAX_PLATFORMS env var at interpreter start.
+    force = ("jax.config.update('jax_platforms', {!r}); ".format(platform)
+             if platform else "")
+    code = ("import jax; " + force + "import jax.numpy as jnp; "
+            "jnp.ones((8, 8)).sum().block_until_ready()")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=deadline_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False, "liveness probe timed out after {:.0f} s".format(
+            deadline_s)
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return False, "liveness probe exited rc={}: {}".format(
+            r.returncode, tail[-1] if tail else "no stderr")
+    return True, "ok"
+
+
 def measure_fetch_rtt(n=5):
     """Estimate the host<->device fetch round trip for timing correction."""
     x = jnp.zeros((8,), jnp.float32)

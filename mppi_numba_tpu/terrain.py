@@ -233,9 +233,15 @@ class TDM:
 
         self._rng_key = jax.random.PRNGKey(self.seed)
         self.device_var_initialized = True  # no preallocation needed under XLA
+        # Monotone content token, bumped whenever the staged planes change
+        # (reset / every set_TDM_* via _finalize).  Consumers that memoize
+        # derived planes (MPPIPlanner._compact_planes) key on it so in-place
+        # TDM updates invalidate their caches.
+        self._content_version = 0
         self.reset()
 
     def reset(self):
+        self._content_version += 1
         self.semantic_grid = None
         self.semantic_grid_initialized = False
         self.id2name = None
@@ -486,6 +492,7 @@ class TDM:
         self.prepare_obstacle_and_unknown_map(obstacle_map, unknown_map,
                                               num_rows, num_cols, res)
         self.pmf_grid_initialized = True
+        self._content_version += 1
 
     def prepare_obstacle_and_unknown_map(self, obstacle_map, unknown_map,
                                          num_rows, num_cols, res):

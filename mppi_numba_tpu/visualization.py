@@ -135,6 +135,75 @@ class TDMVisualizer:
 TDM_Visualizer = TDMVisualizer
 
 
+def render_episode_gif(fig, ax, frames, x0, xgoal, goal_tolerance, dt, out,
+                       steps_per_frame=1, fps=10, caption=None,
+                       past_color="k", fontsize=15, rollout_ends=True,
+                       legend_anchor=(1.02, -0.02)):
+    """Reference-styled closed-loop episode animation.
+
+    Matches the committed media of the reference's
+    ``planner_example_vis_gif.ipynb[cell 7]`` (example_gifs/
+    planner_example_vis.gif, gt_nn.gif): open-circle Start, filled
+    Curr. State, open red Goal circle, a Past-States line, blue
+    predicted-state rollouts with red endpoints, and a ``t=..s`` title.
+
+    Args:
+      fig, ax: background axes (e.g. ``TDMVisualizer(tdm).draw(...)`` or an
+        imshow of a real-world map).
+      frames: list of ``(xhist_prefix (n, 3), rollouts (R, T, 3))`` per
+        rendered step — exactly what ``sim.trial``'s ``on_step`` hook plus
+        ``planner.get_state_rollout()`` produce.
+      x0 / xgoal / goal_tolerance / dt: episode task (title timestamps are
+        ``frame_index * steps_per_frame * dt``).
+      out: output .gif path.
+      caption: optional extra in-axes text (the reference's gt_nn.gif
+        stamps "NN trained in this env.").
+    """
+    from matplotlib import animation
+
+    l_start, = ax.plot([x0[0]], [x0[1]], "o", color=past_color, ms=10,
+                       markeredgewidth=3, markerfacecolor="none",
+                       label="Start")
+    l_curr, = ax.plot([x0[0]], [x0[1]], "o", color=past_color, ms=10,
+                      label="Curr. State", zorder=5)
+    ax.add_patch(plt.Circle(tuple(xgoal), goal_tolerance, color="r",
+                            linewidth=3, fill=False, zorder=6))
+    ax.plot([xgoal[0] - 1e6], [xgoal[1] - 1e6], "ro", ms=10,
+            markeredgewidth=3, markerfacecolor="none", label="Goal",
+            zorder=6)
+    l_past, = ax.plot([], [], color=past_color, linewidth=3,
+                      label="Past States")
+    num_rollouts = frames[0][1].shape[0]
+    l_rollouts = [ax.plot([], [], "b", lw=2, alpha=0.8, zorder=3)[0]
+                  for _ in range(num_rollouts)]
+    l_ends, = ax.plot([], [], "r.", alpha=0.8, ms=12, zorder=4)
+    ax.plot([1e6], [1e6], "b-", label="Predicted States\nGiven Optimal Control")
+    title = ax.set_title("t=0.0s", fontsize=fontsize, x=0.5, y=0.95)
+    if caption:
+        ax.text(0.55, 0.06, caption, transform=ax.transAxes, color="w",
+                fontsize=fontsize - 2, ha="center",
+                bbox=dict(facecolor="black", alpha=0.4, edgecolor="none"))
+    ax.legend(ncol=2, fontsize=fontsize - 1, bbox_to_anchor=legend_anchor,
+              loc="lower right")
+
+    def update(i):
+        traj, rollouts = frames[i]
+        l_past.set_data(traj[:, 0], traj[:, 1])
+        l_curr.set_data([traj[-1, 0]], [traj[-1, 1]])
+        for line, states in zip(l_rollouts, rollouts):
+            line.set_data(states[:, 0], states[:, 1])
+        if rollout_ends:
+            l_ends.set_data(rollouts[:, -1, 0], rollouts[:, -1, 1])
+        title.set_text("t={:.1f}s".format(i * steps_per_frame * dt))
+        return [l_past, l_curr, l_ends, title] + l_rollouts
+
+    anim = animation.FuncAnimation(fig, update, frames=len(frames),
+                                   interval=1000 // fps, blit=False)
+    anim.save(out, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out
+
+
 def vis_density(ax, density, terrain, vis_cvar_alpha=0.3, show_cvar=False,
                 color="b", show_legend=True, title=None, hist_alpha=0.5,
                 fontsize=12):

@@ -26,6 +26,23 @@ K, M, T, B = 1024, 1024, 100, 12
 VMAX, RES = 2.0, 0.5
 
 
+def require_live_tpu(deadline_s=75.0):
+    """Fail fast (rc=4, named stderr line) when the tethered worker is in
+    its wedge mode, BEFORE this process touches the device — a wedged JAX
+    client blocks forever with no recovery.  Call at the top of every
+    real-TPU script's main()."""
+    if float(os.environ.get("MPPI_BENCH_PROBE_S", deadline_s)) <= 0:
+        return
+    from mppi_numba_tpu.profiling import device_liveness_probe
+    alive, detail = device_liveness_probe(
+        float(os.environ.get("MPPI_BENCH_PROBE_S", deadline_s)))
+    if not alive:
+        print("TPU worker unresponsive ({}); environment outage, not a "
+              "code hang".format(detail), file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(4)
+
+
 def synth_task(H, W):
     """Flagship-scale synthetic task centered on an H x W map."""
     f32 = np.float32

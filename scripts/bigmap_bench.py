@@ -94,6 +94,8 @@ def measure(static, maps, task, n=30):
 
 
 def main():
+    from _bench_common import require_live_tpu
+    require_live_tpu()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))

@@ -153,6 +153,8 @@ def probe(name, prim, prim_ref, sizes, R=32, L=128):
 
 
 def main():
+    from _bench_common import require_live_tpu
+    require_live_tpu()
     print("backend:", jax.default_backend())
     probe("sublane dims=[0]   ", column_gather_p, _cg_ref,
           (8, 64, 512, 6568))

@@ -69,6 +69,8 @@ def bench_terrain_model(model, backend="auto"):
 
 
 def main():
+    from _bench_common import require_live_tpu
+    require_live_tpu()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))

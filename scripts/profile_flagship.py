@@ -54,6 +54,8 @@ def chain_time(fn, n, *args):
 
 
 def main():
+    from _bench_common import require_live_tpu
+    require_live_tpu()
     static, maps, task = build_flagship()
     K, M, T = (static.num_control_rollouts, static.num_grid_samples,
                static.num_steps)

@@ -92,6 +92,8 @@ def avg_band_chunks(H, W, n_chunks, cpc=NIB_CELLS_PER_CHUNK):
 
 
 def main():
+    from _bench_common import require_live_tpu
+    require_live_tpu()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))

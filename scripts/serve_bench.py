@@ -37,6 +37,8 @@ H, W = 140, 84
 
 
 def main():
+    from _bench_common import require_live_tpu
+    require_live_tpu()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))

@@ -143,6 +143,8 @@ def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig,
 
 
 def main():
+    from _bench_common import require_live_tpu
+    require_live_tpu()
     assert jax.default_backend() == "tpu", jax.default_backend()
     worst = 0.0
     for name, K, M, T, H, W, speed_map, fast_trig in CASES:

@@ -86,6 +86,8 @@ def crumb_case(H, W):
 
 
 if __name__ == "__main__":
+    from _bench_common import require_live_tpu
+    require_live_tpu()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))

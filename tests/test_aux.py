@@ -80,6 +80,20 @@ def test_chained_kernel_timer_runs():
     assert ms > 0
 
 
+def test_device_liveness_probe():
+    """Probe answers True on a live backend (the explicit platform="cpu"
+    override — a JAX_PLATFORMS env var would be clobbered by this
+    environment's sitecustomize) and False — naming the timeout — when the
+    deadline cannot possibly be met."""
+    from mppi_numba_tpu.profiling import device_liveness_probe
+
+    alive, detail = device_liveness_probe(110.0, platform="cpu")
+    assert alive, detail
+    alive, detail = device_liveness_probe(0.01, platform="cpu")
+    assert not alive
+    assert "timed out" in detail
+
+
 def test_load_reference_experiment_tolerant_unpickler(tmp_path):
     """Pickles embedding reference mppi_numba classes load via stubs."""
     import pickle

@@ -279,6 +279,11 @@ def test_crumb_kernel_matches_xla_rollout(shape):
 
 
 @pytest.mark.parametrize("shape", [(40, 40),     # all walks unrolled
+                                   (100, 100),   # ONLY the risk walk banded
+                                   #  (10 cell / 5 mask / 20 risk chunks) —
+                                   #  regression: the use_band gate must
+                                   #  count the risk plane or its banded
+                                   #  walk reads unassigned cell_lo/cell_hi
                                    (160, 128)])  # cell + risk walks banded
 def test_crumb_kernel_speed_map_matches_xla(shape):
     """cell_bits=2 with the shared risk plane: the cell plane walks 1024

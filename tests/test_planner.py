@@ -292,6 +292,98 @@ def test_pmf_support_compaction_bit_identical():
     np.testing.assert_array_equal(u_c, u_f)
 
 
+def test_pmf_support_compaction_unnormalized_grid_keeps_clamp_bin():
+    """Unnormalized PMF grids (column mass < 100) can run the CDF walk off
+    the end: decode_bins' take then clamps to the LAST plane row, so the
+    compactor must retain the declared last bin for the clamp target to be
+    unchanged (round-3 advisor finding)."""
+    H = W = 9
+    B = 12
+    rng = np.random.RandomState(5)
+    # Mass only in rows {0, 4}, summing to ~60 per cell: draws above the
+    # column mass clamp to the last bin.  Bin 11 (value 1.0) has ZERO mass
+    # everywhere — naive compaction would drop it and re-target the clamp
+    # at bin 4's value.
+    pmf = np.zeros((B, H, W), np.int8)
+    pmf[0] = (rng.randint(0, 101, (H, W)) * 0.3).astype(np.int8)
+    pmf[4] = 60 - pmf[0]
+    bin_values = np.linspace(0.0, 1.0, B)
+    tdm_dict = dict(res=1.0, xlimits=(0, W), ylimits=(0, H),
+                    bin_values=bin_values,
+                    bin_values_bounds=(0.0, 1.0),
+                    det_dynamics_cvar_alpha=1.0)
+    params = dict(
+        dt=0.1, x0=np.array([1.5, 1.5, 0.5]), xgoal=np.array([7.0, 7.0]),
+        goal_tolerance=0.5, v_post_rollout=0.01, cvar_alpha=0.5,
+        alpha_dyn=1.0, dist_weight=1, lambda_weight=1.0, num_opt=1,
+        u_std=np.array([1.0, 1.5]), vrange=np.array([0.0, 2.0]),
+        wrange=np.array([-3.0, 3.0]))
+
+    def run(compact):
+        cfg = Config(T=3.0, dt=0.1, num_grid_samples=16,
+                     num_control_rollouts=128, seed=7, use_tdm=True,
+                     max_map_dim=(15, 15))
+        cfg.compact_pmf_support = compact
+        lin, ang = TDM(cfg), TDM(cfg)
+        for t in (lin, ang):
+            t.set_TDM_from_PMF_grid(pmf.copy(), tdm_dict)
+        pl = MPPIPlanner(cfg)
+        pl.setup(params, lin, ang)
+        return pl.solve(), pl._static(), pl._map_inputs()
+
+    u_c, st_c, maps_c = run(True)
+    u_f, st_f, _ = run(False)
+    # Rows {0, 4} plus the retained clamp bin 11.
+    assert st_c.num_pmf_bins == 3
+    assert maps_c.lin_qbins.shape[0] == 3
+    assert int(np.asarray(maps_c.lin_qbins)[-1]) == 100  # declared last bin
+    np.testing.assert_array_equal(u_c, u_f)
+
+
+def test_compaction_cache_invalidated_by_inplace_tdm_update():
+    """Mutating a TDM in place (reset + set_TDM_from_*) without re-calling
+    set_tdm must not serve stale compacted planes (round-3 advisor
+    finding): the memo is keyed on the TDM content-version token."""
+    H = W = 9
+    B = 6
+    bin_values = np.linspace(0.0, 1.0, B)
+    tdm_dict = dict(res=1.0, xlimits=(0, W), ylimits=(0, H),
+                    bin_values=bin_values,
+                    bin_values_bounds=(0.0, 1.0),
+                    det_dynamics_cvar_alpha=1.0)
+    params = dict(
+        dt=0.1, x0=np.array([1.5, 1.5, 0.5]), xgoal=np.array([7.0, 7.0]),
+        goal_tolerance=0.5, v_post_rollout=0.01, cvar_alpha=0.5,
+        alpha_dyn=1.0, dist_weight=1, lambda_weight=1.0, num_opt=1,
+        u_std=np.array([1.0, 1.5]), vrange=np.array([0.0, 2.0]),
+        wrange=np.array([-3.0, 3.0]))
+
+    def one_hot(row):
+        pmf = np.zeros((B, H, W), np.int8)
+        pmf[row] = 100
+        return pmf
+
+    cfg = Config(T=3.0, dt=0.1, num_grid_samples=16,
+                 num_control_rollouts=128, seed=7, use_tdm=True,
+                 max_map_dim=(15, 15))
+    lin, ang = TDM(cfg), TDM(cfg)
+    for t in (lin, ang):
+        t.set_TDM_from_PMF_grid(one_hot(1), tdm_dict)
+    pl = MPPIPlanner(cfg)
+    pl.setup(params, lin, ang)
+    pl.solve()
+    stale = pl._compact_planes()
+
+    # In-place update to a different support WITHOUT set_tdm().
+    for t in (lin, ang):
+        t.reset()
+        t.set_TDM_from_PMF_grid(one_hot(4), tdm_dict)
+    fresh = pl._compact_planes()
+    assert fresh is not stale
+    np.testing.assert_array_equal(np.asarray(fresh[1]),
+                                  np.asarray(lin.qbin_values_host[[0, 4]]))
+
+
 def test_pmf_support_compaction_speed_map_routes_crumb():
     """Speed-map mode's PMF support is exactly {padding, nominal}: the
     effective bin count is 2, which (on TPU) routes the realistic-map
