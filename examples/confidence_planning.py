@@ -198,7 +198,8 @@ def render_gt_nn_gif(planner, gt_grid, cfg, params, gt, x0, xgoal,
     out = render_episode_gif(
         fig, ax, frames, x0, xgoal, params["goal_tolerance"], cfg.dt,
         "examples/gt_nn.gif", steps_per_frame=stride, past_color="w",
-        caption="NN trained in this env.")
+        caption="NN trained in this env.",
+        legend_anchor=(1.0, 1.0), legend_loc="upper right")
     print("saved", out)
 
 

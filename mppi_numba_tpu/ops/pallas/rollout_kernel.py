@@ -298,7 +298,8 @@ MAX_UNROLLED_CHUNKS = 16
 
 def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
                                     num_pmf_bins=16, speed_map=True,
-                                    cell_bits=4, vmem_budget=VMEM_BUDGET):
+                                    cell_bits=4, vmem_budget=VMEM_BUDGET,
+                                    stream=False):
     """The sublane tile size to use, or None when the kernel cannot run.
 
     ``speed_map`` charges the shared risk-byte plane; callers that know the
@@ -307,7 +308,9 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
     cells per chunk and NO bin-count limit — the cell plane carries decoded
     int8 traction values instead of nibble bin indices.  ``cell_bits=2`` is
     the crumb layout (``pack_bin_crumbs``): 1024 cells per chunk, needs
-    <= 4 PMF bins.
+    <= 4 PMF bins.  ``stream=True`` keeps the cell plane in HBM and only
+    charges the ``STREAM_BAND``-chunk DMA window, so huge maps can still
+    run at MAX_M_TILE.
     """
     if cell_bits == 4 and not (0 < num_pmf_bins <= 16):
         return None
@@ -320,10 +323,12 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
     # The shared risk plane always packs 4 cells/word (pack_risk_bytes),
     # independent of the cell plane's layout.
     n_risk_chunks = -(-map_hw // NIB_CELLS_PER_CHUNK)
+    cell_resident = STREAM_BAND if stream else 2 * n_cell_chunks
     m_pad = _ceil_to(max(num_grid_samples, 8), 8)
     for m_tile in (MAX_M_TILE, 128, 64, 32):
         mt = min(m_pad, m_tile)
-        words = (2 * n_cell_chunks * mt * LANES   # cell chunks, dbl-buffered
+        words = (cell_resident * mt * LANES       # cell chunks (dbl-buffered
+                                                  # resident, or DMA window)
                  + 2 * 2 * num_steps * LANES      # v + w controls
                  + (n_mask_chunks + 8) * LANES    # shared masks + LUT
                  + (n_risk_chunks * LANES if speed_map else 0)  # risk plane
@@ -336,12 +341,23 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
 DEFAULT_BAND_UNROLL = 4   # chunks per banded-walk iteration (measured r2:
                           # 4 took the uncropped 250x250 51.4 -> 32.9 ms)
 
+# HBM-streaming cell plane (``stream=True``): chunks DMA'd per band window.
+# Window size trades DMA count against over-fetch past the band edge.
+STREAM_BAND = 8
+
 
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                            n_cell_chunks, n_mask_chunks, n_risk_chunks,
                            fast_trig, step_fn, banded, speed_map,
                            cell_bits=4, t_unroll=1,
-                           band_unroll=DEFAULT_BAND_UNROLL):
+                           band_unroll=DEFAULT_BAND_UNROLL, stream=False):
+    refs = list(refs)
+    if stream:
+        # HBM-streaming layout: nib_ref is the FULL (n_cell_chunks, m_pad,
+        # LANES) plane in ANY/HBM; the per-step band window is DMA'd into
+        # cell_scratch (scratch refs trail the output in pallas_call order).
+        cell_scratch, dma_sem = refs[-2], refs[-1]
+        refs = refs[:-2]
     if speed_map:
         risk_ref, lut_ref, v_ref, w_ref, cost_ref = refs
     else:
@@ -437,11 +453,48 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     # 2-bit crumb layout it has 2x the cell plane's chunk count — it can be
     # the only plane that needs the band (e.g. 100x100: 10 cell chunks,
     # 20 risk chunks).  Gate on all three walks or the risk banded_walk
-    # would read cell_lo/cell_hi that were never assigned.
-    use_band = banded and (n_cell_chunks > MAX_UNROLLED_CHUNKS
-                           or n_mask_data > MAX_UNROLLED_CHUNKS
-                           or (speed_map
-                               and n_risk_chunks > MAX_UNROLLED_CHUNKS))
+    # would read cell_lo/cell_hi that were never assigned.  The HBM-stream
+    # path always needs the band: it bounds the DMA windows.
+    use_band = stream or (banded and (n_cell_chunks > MAX_UNROLLED_CHUNKS
+                                      or n_mask_data > MAX_UNROLLED_CHUNKS
+                                      or (speed_map and n_risk_chunks
+                                          > MAX_UNROLLED_CHUNKS)))
+
+    if stream:
+        m0 = pl.program_id(0) * m_tile
+        max_base = max(n_cell_chunks - STREAM_BAND, 0)
+
+        def stream_dma(base):
+            return pltpu.make_async_copy(
+                nib_ref.at[pl.ds(base, STREAM_BAND), pl.ds(m0, m_tile), :],
+                cell_scratch, dma_sem)
+
+        def stream_walk(c_lo, n_win, cell):
+            """Walk the banded chunk range in STREAM_BAND-chunk DMA windows
+            (window 0 is already in flight — started before the mask/risk
+            walks so its latency hides behind them).  Windows are clamped
+            to the plane's tail; over-walked chunks contribute zero via the
+            in-bounds mask, so overlap between clamped windows is benign."""
+            def win(wi, words):
+                base = jnp.minimum(c_lo + wi * STREAM_BAND, max_base)
+                stream_dma(base).wait()
+                for j in range(STREAM_BAND):
+                    local = cell - (base + j) * cell_cpc
+                    inb = (local >= 0) & (local < cell_cpc)
+                    g = jnp.take_along_axis(
+                        cell_scratch[j], (local >> cell_shift) & (LANES - 1),
+                        axis=1, mode="promise_in_bounds")
+                    words = words | jnp.where(inb, g, 0)
+
+                @pl.when(wi + 1 < n_win)
+                def _():
+                    stream_dma(
+                        jnp.minimum(c_lo + (wi + 1) * STREAM_BAND,
+                                    max_base)).start()
+                return words
+
+            return jax.lax.fori_loop(0, n_win, win,
+                                     jnp.zeros(shape, jnp.int32))
 
     def step(t, carry):
         x, y, hd, cost, dist2, reachedf = carry
@@ -453,8 +506,31 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         cell = yi * W + xi
         if use_band:
             cell_lo, cell_hi = jnp.min(cell), jnp.max(cell)
+        if stream:
+            c_lo = cell_lo // cell_cpc
+            n_win = (cell_hi // cell_cpc + 1 - c_lo
+                     + STREAM_BAND - 1) // STREAM_BAND
+            stream_dma(jnp.minimum(c_lo, max_base)).start()
 
-        if n_cell_chunks == 1:
+        # Mask (and risk) walks run BEFORE the cell-plane walk: they do not
+        # depend on the cell words, so under ``stream`` the window-0 DMA
+        # overlaps them (pure-op reorder; semantics unchanged).
+        if n_mask_data <= 1:
+            mwords = jnp.take_along_axis(mask_tile(0), cell >> 4, axis=1,
+                                         mode="promise_in_bounds")
+        elif n_mask_data <= MAX_UNROLLED_CHUNKS or not banded:
+            mwords = unrolled_walk(cell, mask_tile, MASK_CELLS_PER_CHUNK, 4,
+                                   n_mask_data)
+        else:
+            mwords = banded_walk(cell_lo, cell_hi, cell, mask_ref,
+                                 MASK_CELLS_PER_CHUNK, 4, n_mask_data)
+        mcode = mwords >> ((cell & 15) << 1)
+        obs = (mcode & 1).astype(f32)
+        unk = ((mcode >> 1) & 1).astype(f32)
+
+        if stream:
+            words = stream_walk(c_lo, n_win, cell)
+        elif n_cell_chunks == 1:
             words = jnp.take_along_axis(nib_ref[0], cell >> cell_shift,
                                         axis=1, mode="promise_in_bounds")
         elif n_cell_chunks <= MAX_UNROLLED_CHUNKS or not banded:
@@ -479,19 +555,6 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             half = words >> ((cell & 1) << 4)
             lin_tr = lin_lb + lin_ratio * (half & 0xFF).astype(f32)
             ang_tr = ang_lb + ang_ratio * ((half >> 8) & 0xFF).astype(f32)
-
-        if n_mask_data <= 1:
-            mwords = jnp.take_along_axis(mask_tile(0), cell >> 4, axis=1,
-                                         mode="promise_in_bounds")
-        elif n_mask_data <= MAX_UNROLLED_CHUNKS or not banded:
-            mwords = unrolled_walk(cell, mask_tile, MASK_CELLS_PER_CHUNK, 4,
-                                   n_mask_data)
-        else:
-            mwords = banded_walk(cell_lo, cell_hi, cell, mask_ref,
-                                 MASK_CELLS_PER_CHUNK, 4, n_mask_data)
-        mcode = mwords >> ((cell & 15) << 1)
-        obs = (mcode & 1).astype(f32)
-        unk = ((mcode >> 1) & 1).astype(f32)
 
         if speed_map:
             # Fifth map read of speed-map mode (reference:
@@ -553,14 +616,16 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
 @functools.partial(jax.jit,
                    static_argnames=("H", "W", "T", "fast_trig", "interpret",
                                     "m_tile", "step_fn", "banded",
-                                    "cell_bits", "t_unroll", "band_unroll"))
+                                    "cell_bits", "t_unroll", "band_unroll",
+                                    "stream"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, risk_words=None,
                                         *, H, W, T,
                                         fast_trig=False, interpret=False,
                                         m_tile=None, step_fn=None,
                                         banded=True, cell_bits=4, t_unroll=1,
-                                        band_unroll=DEFAULT_BAND_UNROLL):
+                                        band_unroll=DEFAULT_BAND_UNROLL,
+                                        stream=False):
     """Fused rollout with packed cell-plane maps.
 
     Args:
@@ -604,12 +669,17 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
         m_tile = pallas_rollout_binned_supported(
             M, H * W, T, num_pmf_bins=4 if cell_bits == 2 else 16,
             speed_map=risk_words is not None,
-            cell_bits=cell_bits) or MAX_M_TILE
+            cell_bits=cell_bits, stream=stream) or MAX_M_TILE
     m_tile = min(m_pad, m_tile)
     m_pad = _ceil_to(m_pad, m_tile)
     if lut is None:
         lut = jnp.zeros((8, LANES), jnp.float32)
 
+    if stream:
+        # DMA windows are STREAM_BAND chunks wide and clamped to the plane
+        # tail; pad the chunk axis so even the smallest map has one full
+        # window (over-walked chunks mask to zero in-kernel).
+        n_cell_chunks = max(n_cell_chunks, STREAM_BAND)
     nib = jnp.pad(nib_words, ((0, m_pad - M),
                               (0, n_cell_chunks * LANES - n_words)))
     chunks = nib.reshape(m_pad, n_cell_chunks, LANES).transpose(1, 0, 2)
@@ -631,12 +701,19 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                fast_trig=fast_trig, step_fn=step_fn,
                                banded=banded, speed_map=speed_map,
                                cell_bits=cell_bits, t_unroll=t_unroll,
-                               band_unroll=band_unroll)
+                               band_unroll=band_unroll, stream=stream)
+    if stream:
+        # Full cell plane stays in HBM; the kernel DMAs band windows into
+        # VMEM scratch itself (m_tile passed via the scratch shape below).
+        cell_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        cell_spec = pl.BlockSpec((n_cell_chunks, m_tile, LANES),
+                                 lambda mi, ki: (0, mi, 0),
+                                 memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((8, LANES), lambda mi, ki: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_cell_chunks, m_tile, LANES),
-                     lambda mi, ki: (0, mi, 0), memory_space=pltpu.VMEM),
+        cell_spec,
         pl.BlockSpec((n_mask_chunks, 1, LANES), lambda mi, ki: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -657,6 +734,12 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
         pl.BlockSpec((T, LANES), lambda mi, ki: (0, ki),
                      memory_space=pltpu.VMEM),
     ]
+    scratch_shapes = []
+    if stream:
+        scratch_shapes = [
+            pltpu.VMEM((STREAM_BAND, m_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
     costs_mk = pl.pallas_call(
         kernel,
         grid=grid,
@@ -664,6 +747,7 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((m_tile, LANES), lambda mi, ki: (mi, ki),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*operands)
     return costs_mk[:M].T

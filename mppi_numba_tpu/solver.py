@@ -164,6 +164,12 @@ def make_rollout_backend(static: SolverStatic):
     interpret = backend.endswith("_interpret")
     if interpret:
         backend = backend[:-len("_interpret")]
+    # "<binned kernel>_stream" keeps the cell plane in HBM and DMAs the
+    # exact-occupancy band window per step (rollout_kernel.py stream=True);
+    # an opt-in lever for huge maps until measured wins flip the routing.
+    stream = backend.endswith("_stream")
+    if stream:
+        backend = backend[:-len("_stream")]
     H, W = solver_map_shape(static)
     T = static.num_steps
     speed_map = static.mode == "speed_map"
@@ -218,7 +224,7 @@ def make_rollout_backend(static: SolverStatic):
                 nib, maskw, lut, build_task_vec(task), v_all, w_all, riskw,
                 H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn,
                 interpret=interpret, cell_bits=cell_bits,
-                t_unroll=DEFAULT_T_UNROLL_BINNED)
+                t_unroll=DEFAULT_T_UNROLL_BINNED, stream=stream)
             return costs_km[:k]
         return terrain_rollout_costs(payload, task, u, noise,
                                      speed_map=speed_map, step_fn=step_fn)

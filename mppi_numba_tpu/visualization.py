@@ -138,7 +138,7 @@ TDM_Visualizer = TDMVisualizer
 def render_episode_gif(fig, ax, frames, x0, xgoal, goal_tolerance, dt, out,
                        steps_per_frame=1, fps=10, caption=None,
                        past_color="k", fontsize=15, rollout_ends=True,
-                       legend_anchor=(1.02, -0.02)):
+                       legend_anchor=(1.02, -0.02), legend_loc="lower right"):
     """Reference-styled closed-loop episode animation.
 
     Matches the committed media of the reference's
@@ -160,6 +160,11 @@ def render_episode_gif(fig, ax, frames, x0, xgoal, goal_tolerance, dt, out,
         stamps "NN trained in this env.").
     """
     from matplotlib import animation
+
+    # The legend dummy markers live at +-1e6; freeze the background's view
+    # so they cannot autoscale the axes.
+    xlim, ylim = ax.get_xlim(), ax.get_ylim()
+    ax.set_autoscale_on(False)
 
     l_start, = ax.plot([x0[0]], [x0[1]], "o", color=past_color, ms=10,
                        markeredgewidth=3, markerfacecolor="none",
@@ -184,7 +189,9 @@ def render_episode_gif(fig, ax, frames, x0, xgoal, goal_tolerance, dt, out,
                 fontsize=fontsize - 2, ha="center",
                 bbox=dict(facecolor="black", alpha=0.4, edgecolor="none"))
     ax.legend(ncol=2, fontsize=fontsize - 1, bbox_to_anchor=legend_anchor,
-              loc="lower right")
+              loc=legend_loc)
+    ax.set_xlim(xlim)
+    ax.set_ylim(ylim)
 
     def update(i):
         traj, rollouts = frames[i]

@@ -129,6 +129,16 @@ def main():
         # 250x250 regime at a practical few-support-point PMF.
         ("max_250x250_crumb_4bin_full", 250, 250, None, "auto", "tdm", 10),
         ("forest_140x84_crumb_4bin", 140, 84, None, "auto", "tdm", 30),
+        # HBM-streaming cell plane (round-4 VERDICT item 6): the full
+        # uncropped 250x250 walk DMA'd per exact-occupancy band window
+        # instead of held VMEM-resident at m_tile=64 — keep only if it
+        # beats the resident rows above.
+        ("max_250x250_stream_full", 250, 250, None, "pallas_binned_stream",
+         "tdm", 10),
+        ("forest_140x84_stream", 140, 84, None, "pallas_binned_stream",
+         "tdm", 30),
+        ("max_250x250_stream_speed", 250, 250, None,
+         "pallas_binned_stream", "speed_map", 30),
     ]
     for label, H, W, roi, backend, mode, n in scenarios:
         bins = 22 if "22bin" in label else (4 if "4bin" in label else B)

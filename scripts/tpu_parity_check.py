@@ -103,9 +103,18 @@ BINNED_CASES = [
     ("crumb-speed-250", 1024, 1, 60, 250, 250, 4, True, False, 2),
 ]
 
+STREAM_CASES = [
+    # HBM-streaming cell plane (stream=True): Mosaic lowering of the
+    # per-step dynamic-slice DMA is the on-device risk to pin.
+    # (name, K, M, T, H, W, B, speed_map, cell_bits)
+    ("stream-forest", 512, 256, 50, 140, 84, 12, False, 4),
+    ("stream-crumb-250", 512, 256, 50, 250, 250, 4, False, 2),
+    ("stream-speed-250", 1024, 1, 60, 250, 250, 12, True, 4),
+]
+
 
 def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig,
-                    t_unroll=1, cell_bits=4):
+                    t_unroll=1, cell_bits=4, stream=False):
     from mppi_numba_tpu.ops.packing import pack_byte_pairs, pack_risk_bytes
 
     task, _, _, obs, unk, risk, u_cur, noise = build_problem(
@@ -138,7 +147,7 @@ def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig,
         lut, build_task_vec(task), v_all, w_all,
         pack_risk_bytes(jnp.asarray(risk)) if speed_map else None,
         H=H, W=W, T=T, fast_trig=fast_trig, cell_bits=cell_bits,
-        t_unroll=t_unroll))
+        t_unroll=t_unroll, stream=stream))
     return ref, got
 
 
@@ -184,6 +193,17 @@ def main():
               f"fast_trig={int(fast_trig)} cell_bits={cell_bits} "
               f"max rel err {rel:.2e} (tol {tol:.0e})")
         assert rel <= tol, name
+    for name, K, M, T, H, W, B, speed_map, cell_bits in STREAM_CASES:
+        ref, got = run_binned_case(name, K, M, T, H, W, B, speed_map,
+                                   False, cell_bits=cell_bits, stream=True)
+        scale = np.maximum(np.abs(ref), 1.0)
+        rel = float((np.abs(got - ref) / scale).max())
+        worst = max(worst, rel)
+        status = "OK " if rel <= 1e-4 else "FAIL"
+        print(f"{status} {name:16s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
+              f"bins={B} speed_map={int(speed_map)} cell_bits={cell_bits} "
+              f"stream=1 max rel err {rel:.2e} (tol 1e-04)")
+        assert rel <= 1e-4, name
     # Horizon-loop unrolling must be semantics-identical on hardware for
     # every T % t_unroll (static remainder tail); exercised on the banded
     # 140x84 regime and a byte-kernel case.

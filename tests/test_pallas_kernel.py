@@ -180,6 +180,54 @@ def test_binned_kernel_banded_walk_path():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("cell_bits,shape", [
+    (4, (40, 40)),    # fewer cell chunks than one DMA window (clamp path)
+    (4, (160, 128)),  # 40 chunks -> multi-window streaming
+    (2, (160, 128)),  # crumb plane, 20 chunks
+    (8, (96, 92)),    # byte-pair plane, 35 chunks
+])
+def test_stream_kernel_matches_xla_rollout(cell_bits, shape):
+    """HBM-streaming cell plane (stream=True): the full plane stays in
+    ANY/HBM and the kernel DMAs the exact-occupancy band window per step
+    into VMEM scratch — must match the oracle exactly like the resident
+    walks (VERDICT r3 item 6)."""
+    H, W = shape
+    if cell_bits == 4:
+        task, packed, plane, maskw, lut, u_cur, noise = build_binned_problem(
+            seed=17, K=128, M=8, T=12, H=H, W=W)
+    elif cell_bits == 2:
+        task, packed, plane, maskw, lut, u_cur, noise = build_crumb_problem(
+            seed=18, K=128, M=8, T=12, H=H, W=W)
+    else:
+        task, packed, plane, maskw, u_cur, noise = build_byte2_problem(
+            seed=19, K=128, M=8, T=12, H=H, W=W)
+        lut = None
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        plane, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=12, interpret=True, cell_bits=cell_bits, stream=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_stream_kernel_speed_map_and_t_unroll():
+    """stream=True composes with the shared risk plane (still
+    VMEM-resident) and horizon-loop unrolling."""
+    from mppi_numba_tpu.ops.packing import pack_risk_bytes
+
+    H, W = 100, 100
+    task, packed, nib, maskw, lut, u_cur, noise, risk = build_binned_problem(
+        seed=21, K=128, M=4, T=14, H=H, W=W, with_risk=True)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise,
+                                           speed_map=True))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        pack_risk_bytes(risk), H=H, W=W, T=14, interpret=True,
+        stream=True, t_unroll=4))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("banded", [True, False])
 def test_banded_walk_exact_for_unbounded_models(banded):
     """A custom model whose translation exceeds dt*lin_tr*|v| escaped

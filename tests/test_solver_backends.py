@@ -154,6 +154,27 @@ def test_full_solve_4bin_crumbs(mode, roi):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("mode", ["tdm", "speed_map"])
+def test_full_solve_stream_backend(mode):
+    """The HBM-streaming cell plane ("<binned>_stream" backend suffix):
+    full-solve parity against the oracle, including the VMEM-resident risk
+    plane in speed-map mode."""
+    maps, task, static_for = build(mode, None)
+    key = jax.random.PRNGKey(29)
+
+    def solve(backend):
+        fn = get_terrain_solver(static_for(backend))
+        return fn(key, maps, task, jnp.zeros((T, 2), jnp.float32))
+
+    u_ref, aux_ref = solve("xla")
+    u_got, aux_got = solve("pallas_binned_stream_interpret")
+    np.testing.assert_allclose(np.asarray(aux_got.costs),
+                               np.asarray(aux_ref.costs),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_full_solve_over16_bins_byte2():
     """22-bin TDM (the reference benchmark world's bin count): the nibble
     layout is ineligible, the byte-pair backend must match the oracle."""
