@@ -71,6 +71,21 @@ def binned_case(H, W):
                           "m_tile": mt, "ms": round(ms, 3)}), flush=True)
 
 
+def stream_case(H, W):
+    """HBM-streaming cell plane at the huge-walk shape it targets: sweep
+    m_tile (streaming frees the VMEM that capped it at 64) and t_unroll."""
+    nib, maskw, lut, tv, v_all, w_all = build_binned_problem(H, W)
+    for mt, tu in ((None, 1), (None, 2), (None, 4), (128, 1), (64, 1)):
+        ms = chained_kernel_time(
+            lambda v, mt=mt, tu=tu: terrain_rollout_costs_pallas_binned(
+                nib, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
+                fast_trig=True, stream=True, m_tile=mt, t_unroll=tu),
+            v_all)
+        print(json.dumps({"kernel": "binned_stream", "shape": [H, W],
+                          "m_tile": mt, "t_unroll": tu,
+                          "ms": round(ms, 3)}), flush=True)
+
+
 def crumb_case(H, W):
     """2-bit cell plane (<=4-bin TDMs) at the long-walk shape it targets."""
     crumbs, maskw, lut, tv, v_all, w_all = build_crumb_problem(H, W)
@@ -97,3 +112,4 @@ if __name__ == "__main__":
     binned_case(140, 84)      # forest-size, banded regime
     binned_case(250, 250)     # max_map_dim, banded regime
     crumb_case(250, 250)      # <=4-bin crumb plane, banded regime
+    stream_case(250, 250)     # HBM-streaming cell plane, huge-walk regime
