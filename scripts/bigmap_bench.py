@@ -129,6 +129,24 @@ def main():
         # 250x250 regime at a practical few-support-point PMF.
         ("max_250x250_crumb_4bin_full", 250, 250, None, "auto", "tdm", 10),
         ("forest_140x84_crumb_4bin", 140, 84, None, "auto", "tdm", 30),
+        # Compact-PMF routing check (round-4 VERDICT item 2): the planner's
+        # support compaction hands det/speed/costmap solves 2-4 effective
+        # bins, so "auto" routes them to the crumb kernel — these paired
+        # rows measure that against the nibble kernel the round-3 det/speed
+        # rows above actually ran, at the same effective bin count.  If
+        # crumb loses, flip cfg.compact_pmf_support or the routing
+        # threshold (solver.py::resolve_backend).
+        ("forest_140x84_speed_2bin_crumb", 140, 84, None, "auto",
+         "speed_map", 30),
+        ("forest_140x84_speed_2bin_nibble", 140, 84, None, "pallas_binned",
+         "speed_map", 30),
+        ("max_250x250_speed_2bin_crumb", 250, 250, None, "auto",
+         "speed_map", 30),
+        ("max_250x250_speed_2bin_nibble", 250, 250, None, "pallas_binned",
+         "speed_map", 30),
+        ("max_250x250_det_4bin_crumb", 250, 250, None, "auto", "det_dyn", 30),
+        ("max_250x250_det_4bin_nibble", 250, 250, None, "pallas_binned",
+         "det_dyn", 30),
         # HBM-streaming cell plane (round-4 VERDICT item 6): the full
         # uncropped 250x250 walk DMA'd per exact-occupancy band window
         # instead of held VMEM-resident at m_tile=64 — keep only if it
@@ -141,7 +159,9 @@ def main():
          "pallas_binned_stream", "speed_map", 30),
     ]
     for label, H, W, roi, backend, mode, n in scenarios:
-        bins = 22 if "22bin" in label else (4 if "4bin" in label else B)
+        bins = (22 if "22bin" in label else
+                4 if "4bin" in label else
+                2 if "2bin" in label else B)
         static, maps, task = build(H, W, roi, backend, mode, B=bins)
         be = resolve_backend(static)
         try:
