@@ -37,3 +37,37 @@ def test_density_plots():
     vis_density(ax, gm, t, show_cvar=True)
     fig, ax = plt.subplots()
     vis_density_as_pmf(ax, gm, t, num_bins=10)
+
+
+def test_render_episode_gif(tmp_path):
+    """Reference-styled episode renderer (planner_example_vis.gif /
+    gt_nn.gif equivalents): writes an animated GIF with one frame per
+    capture and never lets the legend's +-1e6 dummy markers autoscale the
+    axes."""
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from PIL import Image
+    from mppi_numba_tpu.visualization import render_episode_gif
+
+    rng = np.random.RandomState(0)
+    frames = []
+    for t in range(1, 4):
+        xhist = np.cumsum(rng.rand(t + 1, 3), axis=0)
+        rollouts = np.cumsum(rng.rand(5, 6, 3), axis=1)
+        frames.append((xhist, rollouts))
+    fig, ax = plt.subplots(figsize=(3, 3))
+    ax.set_xlim(0, 10)
+    ax.set_ylim(0, 10)
+    out = render_episode_gif(fig, ax, frames, np.array([1.0, 1.0, 0.0]),
+                             np.array([8.0, 8.0]), 0.5, 0.1,
+                             str(tmp_path / "ep.gif"), caption="test env")
+    im = Image.open(out)
+    n = 0
+    try:
+        while True:
+            im.seek(n)
+            n += 1
+    except EOFError:
+        pass
+    assert n == len(frames)
+    assert ax.get_xlim() == (0.0, 10.0)  # dummies did not autoscale
