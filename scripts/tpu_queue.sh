@@ -3,9 +3,10 @@
 #
 # Fire this the moment the tethered worker recovers from an outage; it
 # replays every on-device check/measurement in dependency order with tee'd
-# logs under /tmp/q_*.log.  Each script starts with its own liveness
-# pre-probe (rc=4 fast-fail) so a mid-queue worker relapse stops the queue
-# instead of wedging it.
+# logs under /tmp/q_*.log.  Steps do NOT gate each other — a failure in one
+# (e.g. a speculative kernel case) must not block the headline artifact
+# refresh — except rc=4 ("worker unresponsive" from the liveness
+# pre-probe), which aborts the whole queue: the worker relapsed.
 #
 #   bash scripts/tpu_queue.sh [logdir]
 set -u -o pipefail
@@ -19,14 +20,23 @@ steps=(
   "profile  scripts/profile_flagship.py"
   "bench    bench.py"
 )
+failed=""
 for s in "${steps[@]}"; do
   name=${s%% *}
   script=$(echo "$s" | awk '{print $2}')
   echo "=== $name ($script) $(date -u +%H:%M:%S) ==="
-  if ! timeout 2400 python "$script" 2>&1 | tee "$LOG/q_$name.log"; then
-    rc=$?
-    echo "!!! $name failed rc=$rc — stopping queue (see $LOG/q_$name.log)"
-    exit "$rc"
+  timeout 2400 python "$script" 2>&1 | tee "$LOG/q_$name.log"
+  rc=$?
+  if [ "$rc" -eq 4 ]; then
+    echo "!!! worker relapsed during $name — aborting queue"
+    exit 4
+  elif [ "$rc" -ne 0 ]; then
+    echo "!!! $name failed rc=$rc (see $LOG/q_$name.log) — continuing"
+    failed="$failed $name:rc=$rc"
   fi
 done
+if [ -n "$failed" ]; then
+  echo "=== queue complete WITH FAILURES:$failed $(date -u +%H:%M:%S) ==="
+  exit 1
+fi
 echo "=== queue complete $(date -u +%H:%M:%S) ==="
