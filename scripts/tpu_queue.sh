@@ -25,7 +25,7 @@ for s in "${steps[@]}"; do
   name=${s%% *}
   script=$(echo "$s" | awk '{print $2}')
   echo "=== $name ($script) $(date -u +%H:%M:%S) ==="
-  timeout 2400 python "$script" 2>&1 | tee "$LOG/q_$name.log"
+  timeout 3600 python "$script" 2>&1 | tee "$LOG/q_$name.log"
   rc=$?
   if [ "$rc" -eq 4 ]; then
     echo "!!! worker relapsed during $name — aborting queue"
