@@ -323,7 +323,7 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
     # The shared risk plane always packs 4 cells/word (pack_risk_bytes),
     # independent of the cell plane's layout.
     n_risk_chunks = -(-map_hw // NIB_CELLS_PER_CHUNK)
-    cell_resident = STREAM_BAND if stream else 2 * n_cell_chunks
+    cell_resident = 2 * STREAM_BAND if stream else 2 * n_cell_chunks
     m_pad = _ceil_to(max(num_grid_samples, 8), 8)
     for m_tile in (MAX_M_TILE, 128, 64, 32):
         mt = min(m_pad, m_tile)
@@ -464,36 +464,68 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         m0 = pl.program_id(0) * m_tile
         max_base = max(n_cell_chunks - STREAM_BAND, 0)
 
-        def stream_dma(base):
+        def stream_dma(base, slot):
             return pltpu.make_async_copy(
                 nib_ref.at[pl.ds(base, STREAM_BAND), pl.ds(m0, m_tile), :],
-                cell_scratch, dma_sem)
+                cell_scratch.at[slot], dma_sem.at[slot])
+
+        def win_base(c_lo, wi):
+            # Clamped to the plane tail: over-walked chunks contribute zero
+            # via the validity mask, so overlap between windows is benign.
+            return jnp.minimum(c_lo + wi * STREAM_BAND, max_base)
+
+        def stream_start(c_lo, wi, slot):
+            stream_dma(win_base(c_lo, wi), slot).start()
 
         def stream_walk(c_lo, n_win, cell):
-            """Walk the banded chunk range in STREAM_BAND-chunk DMA windows
-            (window 0 is already in flight — started before the mask/risk
-            walks so its latency hides behind them).  Windows are clamped
-            to the plane's tail; over-walked chunks contribute zero via the
-            in-bounds mask, so overlap between clamped windows is benign."""
-            def win(wi, words):
-                base = jnp.minimum(c_lo + wi * STREAM_BAND, max_base)
-                stream_dma(base).wait()
+            """Walk the banded chunk range in STREAM_BAND-chunk DMA windows,
+            DOUBLE-BUFFERED over two static scratch slots: windows 0/1 are
+            already in flight (started before the mask/risk walks, hiding
+            their latency behind that work); each pair iteration waits a
+            slot, walks it, and immediately refills it with the window two
+            ahead — so the next window's transfer always overlaps the
+            current window's gathers.  Static slot indices keep every
+            scratch read statically addressed (no dynamic-major-dim VMEM
+            loads, the exact cost the resident banded walk pays).  A
+            window's contribution is additionally gated on ``wi < n_win``:
+            a stale slot from a previous step must never be walked."""
+            def walk_slot(wi, slot, words):
+                base = win_base(c_lo, wi)
+                valid = wi < n_win
                 for j in range(STREAM_BAND):
                     local = cell - (base + j) * cell_cpc
-                    inb = (local >= 0) & (local < cell_cpc)
+                    inb = (local >= 0) & (local < cell_cpc) & valid
                     g = jnp.take_along_axis(
-                        cell_scratch[j], (local >> cell_shift) & (LANES - 1),
+                        cell_scratch[slot, j],
+                        (local >> cell_shift) & (LANES - 1),
                         axis=1, mode="promise_in_bounds")
                     words = words | jnp.where(inb, g, 0)
-
-                @pl.when(wi + 1 < n_win)
-                def _():
-                    stream_dma(
-                        jnp.minimum(c_lo + (wi + 1) * STREAM_BAND,
-                                    max_base)).start()
                 return words
 
-            return jax.lax.fori_loop(0, n_win, win,
+            def pair(i, words):
+                w0 = 2 * i
+                # Slot 0: window w0 always exists for i < n_pairs.
+                stream_dma(win_base(c_lo, w0), 0).wait()
+                words = walk_slot(w0, 0, words)
+
+                @pl.when(w0 + 2 < n_win)
+                def _():
+                    stream_start(c_lo, w0 + 2, 0)
+
+                # Slot 1: window w0+1 only on non-final odd tails; its wait
+                # must be predicated — the matching start was too.
+                @pl.when(w0 + 1 < n_win)
+                def _():
+                    stream_dma(win_base(c_lo, w0 + 1), 1).wait()
+                words = walk_slot(w0 + 1, 1, words)
+
+                @pl.when(w0 + 3 < n_win)
+                def _():
+                    stream_start(c_lo, w0 + 3, 1)
+                return words
+
+            n_pairs = (n_win + 1) // 2
+            return jax.lax.fori_loop(0, n_pairs, pair,
                                      jnp.zeros(shape, jnp.int32))
 
     def step(t, carry):
@@ -510,7 +542,11 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             c_lo = cell_lo // cell_cpc
             n_win = (cell_hi // cell_cpc + 1 - c_lo
                      + STREAM_BAND - 1) // STREAM_BAND
-            stream_dma(jnp.minimum(c_lo, max_base)).start()
+            stream_start(c_lo, 0, 0)
+
+            @pl.when(n_win > 1)
+            def _():
+                stream_start(c_lo, 1, 1)
 
         # Mask (and risk) walks run BEFORE the cell-plane walk: they do not
         # depend on the cell words, so under ``stream`` the window-0 DMA
@@ -737,8 +773,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     scratch_shapes = []
     if stream:
         scratch_shapes = [
-            pltpu.VMEM((STREAM_BAND, m_tile, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, STREAM_BAND, m_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     costs_mk = pl.pallas_call(
         kernel,

@@ -210,6 +210,27 @@ def test_stream_kernel_matches_xla_rollout(cell_bits, shape):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
+def test_stream_kernel_multi_window_bands():
+    """A model whose translation is 10x the unicycle bound spreads each
+    step's occupancy band across many chunks, forcing multi-window
+    streaming with odd/even tails — the double-buffered pair loop's
+    predicated waits and stale-slot validity masking must stay exact."""
+    def warp_step(x, y, th, v, w, lin_tr, ang_tr, dt):
+        return (x + dt * 10.0 * v * jnp.cos(th),
+                y + dt * 10.0 * v * jnp.sin(th), th + dt * w)
+
+    H, W = 160, 128
+    task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+        seed=23, K=128, M=8, T=10, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise,
+                                           step_fn=warp_step))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=10, interpret=True, step_fn=warp_step, stream=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
 def test_stream_kernel_speed_map_and_t_unroll():
     """stream=True composes with the shared risk plane (still
     VMEM-resident) and horizon-loop unrolling."""
