@@ -12,13 +12,18 @@
 set -u -o pipefail
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp}
+# Ordered most-critical-first so a mid-queue worker relapse still leaves
+# the round's essential artifacts behind: parity gates every kernel claim,
+# bench is the headline row, bigmap carries the routing-decision rows.
 steps=(
   "parity   scripts/tpu_parity_check.py"
+  "bench    bench.py"
+  "bigmap   scripts/bigmap_bench.py"
   "tunroll  scripts/tunroll_probe.py"
   "roofline scripts/roofline_check.py"
-  "bigmap   scripts/bigmap_bench.py"
   "profile  scripts/profile_flagship.py"
-  "bench    bench.py"
+  "models   scripts/model_bench.py"
+  "serve    scripts/serve_bench.py"
 )
 failed=""
 for s in "${steps[@]}"; do
