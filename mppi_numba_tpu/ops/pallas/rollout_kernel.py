@@ -299,7 +299,7 @@ MAX_UNROLLED_CHUNKS = 16
 def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
                                     num_pmf_bins=16, speed_map=True,
                                     cell_bits=4, vmem_budget=VMEM_BUDGET,
-                                    stream=False):
+                                    stream=False, stream_band=None):
     """The sublane tile size to use, or None when the kernel cannot run.
 
     ``speed_map`` charges the shared risk-byte plane; callers that know the
@@ -323,7 +323,9 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
     # The shared risk plane always packs 4 cells/word (pack_risk_bytes),
     # independent of the cell plane's layout.
     n_risk_chunks = -(-map_hw // NIB_CELLS_PER_CHUNK)
-    cell_resident = 2 * STREAM_BAND if stream else 2 * n_cell_chunks
+    if stream_band is None:
+        stream_band = STREAM_BAND
+    cell_resident = 2 * stream_band if stream else 2 * n_cell_chunks
     m_pad = _ceil_to(max(num_grid_samples, 8), 8)
     for m_tile in (MAX_M_TILE, 128, 64, 32):
         mt = min(m_pad, m_tile)
@@ -342,7 +344,8 @@ DEFAULT_BAND_UNROLL = 4   # chunks per banded-walk iteration (measured r2:
                           # 4 took the uncropped 250x250 51.4 -> 32.9 ms)
 
 # HBM-streaming cell plane (``stream=True``): chunks DMA'd per band window.
-# Window size trades DMA count against over-fetch past the band edge.
+# Window size trades DMA count against over-fetch past the band edge;
+# overridable per call via ``stream_band`` (swept by scripts/tunroll_probe.py).
 STREAM_BAND = 8
 
 
@@ -350,7 +353,8 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                            n_cell_chunks, n_mask_chunks, n_risk_chunks,
                            fast_trig, step_fn, banded, speed_map,
                            cell_bits=4, t_unroll=1,
-                           band_unroll=DEFAULT_BAND_UNROLL, stream=False):
+                           band_unroll=DEFAULT_BAND_UNROLL, stream=False,
+                           stream_band=STREAM_BAND):
     refs = list(refs)
     if stream:
         # HBM-streaming layout: nib_ref is the FULL (n_cell_chunks, m_pad,
@@ -462,17 +466,17 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
 
     if stream:
         m0 = pl.program_id(0) * m_tile
-        max_base = max(n_cell_chunks - STREAM_BAND, 0)
+        max_base = max(n_cell_chunks - stream_band, 0)
 
         def stream_dma(base, slot):
             return pltpu.make_async_copy(
-                nib_ref.at[pl.ds(base, STREAM_BAND), pl.ds(m0, m_tile), :],
+                nib_ref.at[pl.ds(base, stream_band), pl.ds(m0, m_tile), :],
                 cell_scratch.at[slot], dma_sem.at[slot])
 
         def win_base(c_lo, wi):
             # Clamped to the plane tail: over-walked chunks contribute zero
             # via the validity mask, so overlap between windows is benign.
-            return jnp.minimum(c_lo + wi * STREAM_BAND, max_base)
+            return jnp.minimum(c_lo + wi * stream_band, max_base)
 
         def stream_start(c_lo, wi, slot):
             stream_dma(win_base(c_lo, wi), slot).start()
@@ -492,7 +496,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             def walk_slot(wi, slot, words):
                 base = win_base(c_lo, wi)
                 valid = wi < n_win
-                for j in range(STREAM_BAND):
+                for j in range(stream_band):
                     local = cell - (base + j) * cell_cpc
                     inb = (local >= 0) & (local < cell_cpc) & valid
                     g = jnp.take_along_axis(
@@ -541,7 +545,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         if stream:
             c_lo = cell_lo // cell_cpc
             n_win = (cell_hi // cell_cpc + 1 - c_lo
-                     + STREAM_BAND - 1) // STREAM_BAND
+                     + stream_band - 1) // stream_band
             stream_start(c_lo, 0, 0)
 
             @pl.when(n_win > 1)
@@ -653,7 +657,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                    static_argnames=("H", "W", "T", "fast_trig", "interpret",
                                     "m_tile", "step_fn", "banded",
                                     "cell_bits", "t_unroll", "band_unroll",
-                                    "stream"))
+                                    "stream", "stream_band"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, risk_words=None,
                                         *, H, W, T,
@@ -661,7 +665,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         m_tile=None, step_fn=None,
                                         banded=True, cell_bits=4, t_unroll=1,
                                         band_unroll=DEFAULT_BAND_UNROLL,
-                                        stream=False):
+                                        stream=False,
+                                        stream_band=STREAM_BAND):
     """Fused rollout with packed cell-plane maps.
 
     Args:
@@ -705,17 +710,18 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
         m_tile = pallas_rollout_binned_supported(
             M, H * W, T, num_pmf_bins=4 if cell_bits == 2 else 16,
             speed_map=risk_words is not None,
-            cell_bits=cell_bits, stream=stream) or MAX_M_TILE
+            cell_bits=cell_bits, stream=stream,
+            stream_band=stream_band) or MAX_M_TILE
     m_tile = min(m_pad, m_tile)
     m_pad = _ceil_to(m_pad, m_tile)
     if lut is None:
         lut = jnp.zeros((8, LANES), jnp.float32)
 
     if stream:
-        # DMA windows are STREAM_BAND chunks wide and clamped to the plane
-        # tail; pad the chunk axis so even the smallest map has one full
-        # window (over-walked chunks mask to zero in-kernel).
-        n_cell_chunks = max(n_cell_chunks, STREAM_BAND)
+        # DMA windows are ``stream_band`` chunks wide and clamped to the
+        # plane tail; pad the chunk axis so even the smallest map has one
+        # full window (over-walked chunks mask to zero in-kernel).
+        n_cell_chunks = max(n_cell_chunks, stream_band)
     nib = jnp.pad(nib_words, ((0, m_pad - M),
                               (0, n_cell_chunks * LANES - n_words)))
     chunks = nib.reshape(m_pad, n_cell_chunks, LANES).transpose(1, 0, 2)
@@ -737,11 +743,12 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                fast_trig=fast_trig, step_fn=step_fn,
                                banded=banded, speed_map=speed_map,
                                cell_bits=cell_bits, t_unroll=t_unroll,
-                               band_unroll=band_unroll, stream=stream)
+                               band_unroll=band_unroll, stream=stream,
+                               stream_band=stream_band)
     if stream:
         # Full cell plane stays in HBM; the kernel DMAs band windows into
         # VMEM scratch itself (m_tile passed via the scratch shape below).
-        cell_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        cell_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         cell_spec = pl.BlockSpec((n_cell_chunks, m_tile, LANES),
                                  lambda mi, ki: (0, mi, 0),
@@ -773,7 +780,7 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     scratch_shapes = []
     if stream:
         scratch_shapes = [
-            pltpu.VMEM((2, STREAM_BAND, m_tile, LANES), jnp.int32),
+            pltpu.VMEM((2, stream_band, m_tile, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     costs_mk = pl.pallas_call(

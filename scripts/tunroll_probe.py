@@ -71,18 +71,24 @@ def binned_case(H, W):
                           "m_tile": mt, "ms": round(ms, 3)}), flush=True)
 
 
-def stream_case(H, W):
-    """HBM-streaming cell plane at the huge-walk shape it targets: sweep
-    m_tile (streaming frees the VMEM that capped it at 64) and t_unroll."""
+def stream_case(H, W, full=True):
+    """HBM-streaming cell plane: sweep m_tile (streaming frees the VMEM
+    that capped it at 64), t_unroll, and the DMA window width
+    (``stream_band``: window count vs over-fetch past the band edge)."""
     nib, maskw, lut, tv, v_all, w_all = build_binned_problem(H, W)
-    for mt, tu in ((None, 1), (None, 2), (None, 4), (128, 1), (64, 1)):
+    configs = [(None, 1, 8), (None, 2, 8), (None, 4, 8), (128, 1, 8),
+               (64, 1, 8), (None, 1, 4), (None, 1, 16)]
+    if not full:            # secondary shape: just the window/tile corners
+        configs = [(None, 1, 8), (None, 1, 4), (128, 1, 8)]
+    for mt, tu, sb in configs:
         ms = chained_kernel_time(
-            lambda v, mt=mt, tu=tu: terrain_rollout_costs_pallas_binned(
+            lambda v, mt=mt, tu=tu, sb=sb: terrain_rollout_costs_pallas_binned(
                 nib, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
-                fast_trig=True, stream=True, m_tile=mt, t_unroll=tu),
+                fast_trig=True, stream=True, m_tile=mt, t_unroll=tu,
+                stream_band=sb),
             v_all)
         print(json.dumps({"kernel": "binned_stream", "shape": [H, W],
-                          "m_tile": mt, "t_unroll": tu,
+                          "m_tile": mt, "t_unroll": tu, "stream_band": sb,
                           "ms": round(ms, 3)}), flush=True)
 
 
@@ -113,3 +119,8 @@ if __name__ == "__main__":
     binned_case(250, 250)     # max_map_dim, banded regime
     crumb_case(250, 250)      # <=4-bin crumb plane, banded regime
     stream_case(250, 250)     # HBM-streaming cell plane, huge-walk regime
+    # Forest scale: VMEM-resident fits here, but the static-slot scratch
+    # reads may still beat the resident banded walk's dynamic-major-dim
+    # loads (the measured 1.44x forest overhead) — decision data for
+    # resolve_backend routing.
+    stream_case(140, 84, full=False)

@@ -180,17 +180,20 @@ def test_binned_kernel_banded_walk_path():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.parametrize("cell_bits,shape", [
-    (4, (40, 40)),    # fewer cell chunks than one DMA window (clamp path)
-    (4, (160, 128)),  # 40 chunks -> multi-window streaming
-    (2, (160, 128)),  # crumb plane, 20 chunks
-    (8, (96, 92)),    # byte-pair plane, 35 chunks
+@pytest.mark.parametrize("cell_bits,shape,stream_band", [
+    (4, (40, 40), 8),    # fewer cell chunks than one DMA window (clamp path)
+    (4, (160, 128), 8),  # 40 chunks -> multi-window streaming
+    (2, (160, 128), 8),  # crumb plane, 20 chunks
+    (8, (96, 92), 8),    # byte-pair plane, 35 chunks
+    (4, (160, 128), 4),  # narrow DMA window: more windows, odd/even tails
+    (4, (160, 128), 16), # wide DMA window: heavy tail clamping / over-fetch
 ])
-def test_stream_kernel_matches_xla_rollout(cell_bits, shape):
+def test_stream_kernel_matches_xla_rollout(cell_bits, shape, stream_band):
     """HBM-streaming cell plane (stream=True): the full plane stays in
     ANY/HBM and the kernel DMAs the exact-occupancy band window per step
     into VMEM scratch — must match the oracle exactly like the resident
-    walks (VERDICT r3 item 6)."""
+    walks (VERDICT r3 item 6).  ``stream_band`` sweeps the window width
+    the tuning probe exposes."""
     H, W = shape
     if cell_bits == 4:
         task, packed, plane, maskw, lut, u_cur, noise = build_binned_problem(
@@ -206,7 +209,8 @@ def test_stream_kernel_matches_xla_rollout(cell_bits, shape):
     v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
     got = np.asarray(terrain_rollout_costs_pallas_binned(
         plane, maskw, lut, build_task_vec(task), v_all, w_all,
-        H=H, W=W, T=12, interpret=True, cell_bits=cell_bits, stream=True))
+        H=H, W=W, T=12, interpret=True, cell_bits=cell_bits, stream=True,
+        stream_band=stream_band))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
