@@ -156,6 +156,10 @@ def main():
     require_live_tpu()
     assert jax.default_backend() == "tpu", jax.default_backend()
     worst = 0.0
+    # Collect failures and keep going: one broken layout must not hide the
+    # verdict on the others (round-4 lesson — the byte2-forest failure
+    # aborted the run before the crumb/stream cases ever executed).
+    failures = []
     for name, K, M, T, H, W, speed_map, fast_trig in CASES:
         task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(
             7, K, M, T, H, W, cliffs=not fast_trig)
@@ -178,7 +182,8 @@ def main():
         print(f"{status} {name:12s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
               f"speed_map={int(speed_map)} fast_trig={int(fast_trig)} "
               f"max rel err {rel:.2e} (tol {tol:.0e})")
-        assert rel <= tol, name
+        if rel > tol:
+            failures.append(name)
     for name, K, M, T, H, W, B, speed_map, fast_trig, cell_bits \
             in BINNED_CASES:
         ref, got = run_binned_case(name, K, M, T, H, W, B, speed_map,
@@ -192,7 +197,8 @@ def main():
               f"bins={B} speed_map={int(speed_map)} "
               f"fast_trig={int(fast_trig)} cell_bits={cell_bits} "
               f"max rel err {rel:.2e} (tol {tol:.0e})")
-        assert rel <= tol, name
+        if rel > tol:
+            failures.append(name)
     for name, K, M, T, H, W, B, speed_map, cell_bits in STREAM_CASES:
         ref, got = run_binned_case(name, K, M, T, H, W, B, speed_map,
                                    False, cell_bits=cell_bits, stream=True)
@@ -203,7 +209,8 @@ def main():
         print(f"{status} {name:16s} K={K:5d} M={M:4d} T={T:3d} map={H}x{W} "
               f"bins={B} speed_map={int(speed_map)} cell_bits={cell_bits} "
               f"stream=1 max rel err {rel:.2e} (tol 1e-04)")
-        assert rel <= 1e-4, name
+        if rel > 1e-4:
+            failures.append(name)
     # Horizon-loop unrolling must be semantics-identical on hardware for
     # every T % t_unroll (static remainder tail); exercised on the banded
     # 140x84 regime and a byte-kernel case.
@@ -215,7 +222,8 @@ def main():
         status = "OK " if rel <= 1e-4 else "FAIL"
         print(f"{status} bin-forest t_unroll={tu} max rel err {rel:.2e} "
               f"(tol 1e-04)")
-        assert rel <= 1e-4, f"t_unroll={tu}"
+        if rel > 1e-4:
+            failures.append(f"bin-forest t_unroll={tu}")
     task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(
         7, 1024, 256, 50, 11, 11, cliffs=True)
     packed = pack_map_words(jnp.asarray(lin), jnp.asarray(ang),
@@ -232,7 +240,12 @@ def main():
         status = "OK " if rel <= 1e-4 else "FAIL"
         print(f"{status} byte t_unroll={tu} max rel err {rel:.2e} "
               f"(tol 1e-04)")
-        assert rel <= 1e-4, f"byte t_unroll={tu}"
+        if rel > 1e-4:
+            failures.append(f"byte t_unroll={tu}")
+    if failures:
+        print(f"{len(failures)} FAILURES: {', '.join(failures)}; "
+              f"worst rel err {worst:.2e}")
+        raise SystemExit(1)
     print(f"all cases pass; worst rel err {worst:.2e}")
 
 
