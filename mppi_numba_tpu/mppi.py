@@ -216,9 +216,22 @@ class MPPIPlanner:
         cells = int(math.ceil(reach_m / float(self.lin_tdm.res))) + 2
         r = 2 * cells + 1
         rH, rW = min(H, r), min(W, r)
-        if rH * rW * 4 >= H * W * 3:
-            # Window nearly the whole map: cropping would only add the
-            # dynamic-slice overhead (and a second executable shape).
+        if jax.default_backend() == "tpu":
+            # The Pallas kernels' exact-occupancy banded walk already
+            # bounds the in-kernel chunk walk to the visited cells, so
+            # cropping's remaining win is smaller packing/sampling vs the
+            # per-solve dynamic-slice crop of the (M, H, W) PMF planes —
+            # crop only when the window is under ~1/3 of the map.
+            # Measured on v5e (round 4, BENCH_BIGMAP.jsonl): at window/map
+            # 0.58 (forest 140x84, 85x84 window) cropping LOSES
+            # 8.59 -> 11.1 ms; at 0.11 (250x250) it wins 20.5 -> 11.6 ms.
+            threshold_crop = rH * rW * 3 < H * W
+        else:
+            # XLA-rollout fallback (CPU tests/examples): the per-step map
+            # gather scales with map area, so cropping pays at any
+            # meaningful shrink.
+            threshold_crop = rH * rW * 4 < H * W * 3
+        if not threshold_crop:
             return None
         return (rH, rW)
 
