@@ -41,10 +41,13 @@ MAX_M_TILE = 256
 VMEM_BUDGET = 12 * 1024 * 1024  # conservative slice of ~16 MB/core
 
 # Default horizon-loop unrolling per kernel (steps per fori_loop iteration;
-# semantics-identical for any value — see _run_time_loop).  Placeholder 1
-# until the on-device sweep (scripts/tunroll_probe.py) picks winners.
-DEFAULT_T_UNROLL_BYTE = 1
-DEFAULT_T_UNROLL_BINNED = 1
+# semantics-identical for any value — see _run_time_loop).  Winners of the
+# round-4 on-device sweep (scripts/tunroll_probe.py, BENCH_TUNROLL.jsonl,
+# v5e): byte 9x11 flagship 3.05 -> 2.33 ms at 4 (2.59 at 2, 2.35 at 5);
+# nibble 140x84 8.33 -> 7.42 ms and 250x250 14.75 -> 14.13 ms at 4; crumb
+# 250x250 10.0 -> 9.2 ms at 2 (4 unswept, semantics-identical either way).
+DEFAULT_T_UNROLL_BYTE = 4
+DEFAULT_T_UNROLL_BINNED = 4
 
 
 def _ceil_to(x, m):
@@ -340,13 +343,18 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
     return None
 
 
-DEFAULT_BAND_UNROLL = 4   # chunks per banded-walk iteration (measured r2:
-                          # 4 took the uncropped 250x250 51.4 -> 32.9 ms)
+DEFAULT_BAND_UNROLL = 4   # chunks per banded-walk iteration (confirmed by
+                          # the r4 sweep: 4 beats 2 and 8 at both 140x84
+                          # (8.32 vs 8.58/10.0 ms) and 250x250 (14.58 vs
+                          # 15.15/16.41 ms) — BENCH_TUNROLL.jsonl)
 
 # HBM-streaming cell plane (``stream=True``): chunks DMA'd per band window.
 # Window size trades DMA count against over-fetch past the band edge;
 # overridable per call via ``stream_band`` (swept by scripts/tunroll_probe.py).
-STREAM_BAND = 8
+# r4 sweep: 4 beats 8 by ~30% at both 250x250 (12.76 vs 18.11 ms) and
+# 140x84 (12.71 vs 18.69 ms); 16 is 2.5x worse (32.2 ms) — narrow windows
+# track the band tighter and the doubled DMA count pipelines fine.
+STREAM_BAND = 4
 
 
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
