@@ -362,7 +362,8 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                            fast_trig, step_fn, banded, speed_map,
                            cell_bits=4, t_unroll=1,
                            band_unroll=DEFAULT_BAND_UNROLL, stream=False,
-                           stream_band=STREAM_BAND):
+                           stream_band=STREAM_BAND,
+                           max_unrolled=MAX_UNROLLED_CHUNKS):
     refs = list(refs)
     if stream:
         # HBM-streaming layout: nib_ref is the FULL (n_cell_chunks, m_pad,
@@ -467,10 +468,10 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     # 20 risk chunks).  Gate on all three walks or the risk banded_walk
     # would read cell_lo/cell_hi that were never assigned.  The HBM-stream
     # path always needs the band: it bounds the DMA windows.
-    use_band = stream or (banded and (n_cell_chunks > MAX_UNROLLED_CHUNKS
-                                      or n_mask_data > MAX_UNROLLED_CHUNKS
+    use_band = stream or (banded and (n_cell_chunks > max_unrolled
+                                      or n_mask_data > max_unrolled
                                       or (speed_map and n_risk_chunks
-                                          > MAX_UNROLLED_CHUNKS)))
+                                          > max_unrolled)))
 
     if stream:
         m0 = pl.program_id(0) * m_tile
@@ -566,7 +567,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         if n_mask_data <= 1:
             mwords = jnp.take_along_axis(mask_tile(0), cell >> 4, axis=1,
                                          mode="promise_in_bounds")
-        elif n_mask_data <= MAX_UNROLLED_CHUNKS or not banded:
+        elif n_mask_data <= max_unrolled or not banded:
             mwords = unrolled_walk(cell, mask_tile, MASK_CELLS_PER_CHUNK, 4,
                                    n_mask_data)
         else:
@@ -581,7 +582,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         elif n_cell_chunks == 1:
             words = jnp.take_along_axis(nib_ref[0], cell >> cell_shift,
                                         axis=1, mode="promise_in_bounds")
-        elif n_cell_chunks <= MAX_UNROLLED_CHUNKS or not banded:
+        elif n_cell_chunks <= max_unrolled or not banded:
             words = unrolled_walk(cell, lambda c: nib_ref[c],
                                   cell_cpc, cell_shift, n_cell_chunks)
         else:
@@ -612,7 +613,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             if n_risk_chunks == 1:
                 rwords = jnp.take_along_axis(risk_tile(0), cell >> 2, axis=1,
                                              mode="promise_in_bounds")
-            elif n_risk_chunks <= MAX_UNROLLED_CHUNKS or not banded:
+            elif n_risk_chunks <= max_unrolled or not banded:
                 rwords = unrolled_walk(cell, risk_tile, NIB_CELLS_PER_CHUNK,
                                        2, n_risk_chunks)
             else:
@@ -665,7 +666,8 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                    static_argnames=("H", "W", "T", "fast_trig", "interpret",
                                     "m_tile", "step_fn", "banded",
                                     "cell_bits", "t_unroll", "band_unroll",
-                                    "stream", "stream_band"))
+                                    "stream", "stream_band",
+                                    "max_unrolled"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, risk_words=None,
                                         *, H, W, T,
@@ -674,7 +676,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         banded=True, cell_bits=4, t_unroll=1,
                                         band_unroll=DEFAULT_BAND_UNROLL,
                                         stream=False,
-                                        stream_band=STREAM_BAND):
+                                        stream_band=STREAM_BAND,
+                                        max_unrolled=MAX_UNROLLED_CHUNKS):
     """Fused rollout with packed cell-plane maps.
 
     Args:
@@ -752,7 +755,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                banded=banded, speed_map=speed_map,
                                cell_bits=cell_bits, t_unroll=t_unroll,
                                band_unroll=band_unroll, stream=stream,
-                               stream_band=stream_band)
+                               stream_band=stream_band,
+                               max_unrolled=max_unrolled)
     if stream:
         # Full cell plane stays in HBM; the kernel DMAs band windows into
         # VMEM scratch itself (m_tile passed via the scratch shape below).
