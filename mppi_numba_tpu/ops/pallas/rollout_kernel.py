@@ -601,6 +601,13 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             ang_tr = jnp.take_along_axis(lut_ang, (code >> 2) & 0x3, axis=1,
                                          mode="promise_in_bounds")
         else:
+            # Inline value decode (exactly the oracle's expression).  An
+            # XLA-built value->traction LUT gather was tried in round 4 and
+            # produced BIT-IDENTICAL results, so the two decodes agree on
+            # hardware; the rare knife-edge parity outliers (2/131k
+            # rollouts, one +-unknown_penalty step each) come from
+            # Mosaic-vs-XLA transcendental ulps, not the decode — see
+            # scripts/debug_byte2.py and PARITY.md.
             half = words >> ((cell & 1) << 4)
             lin_tr = lin_lb + lin_ratio * (half & 0xFF).astype(f32)
             ang_tr = ang_lb + ang_ratio * ((half >> 8) & 0xFF).astype(f32)

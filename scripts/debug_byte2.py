@@ -1,17 +1,20 @@
 #!/usr/bin/env python3
-"""Bisect the byte2-forest on-device parity failure (round 4).
+"""Bisect the byte2-forest on-device parity outliers (round 4).
 
-Observed: the 8-bit value-pair layout fails Pallas-vs-XLA parity on real TPU
-(max rel err 8.5e-3) at 140x84/22 bins, while the SAME config passes in
-interpret mode — a Mosaic-lowering-specific defect.  byte2-forest is the
-only parity case that combines the banded chunk walk with a multi-program
-m-grid (m_pad=256, m_tile=128), so localize the error along every axis:
+Observed: the 8-bit value-pair layout failed Pallas-vs-XLA parity on real
+TPU (max rel err 8.5e-3) at 140x84/22 bins while the SAME config passes in
+interpret mode.  This script localizes the error along every axis
+(m_tile, banded, per-(m,k) error map).
 
-  - per-(m, k) error map: does it localize to the 2nd m-program's rows /
-    a specific k-program's columns?
-  - m_tile sweep (64/128): does more m-programs change the signature?
-  - banded on/off: is the dynamic-loop walk implicated?
-  - nibble layout at forced m_tile=128: layout-specific or grid-specific?
+CONCLUSION (round 4, v5e): exactly 2 of 131k rollouts differ, by exactly
++-one unknown_penalty step each (one up, one down), identical across
+m_tile 64/128, banded on/off, and t_unroll 1/2; byte2 and nibble are
+bit-identical to each other on a shared 12-bin world, and byte2 matches
+the oracle to 5e-7 on a cliff-free surface.  So the layout/walk/decode are
+correct — the outliers are knife-edge cell-boundary flips from
+Mosaic-vs-XLA transcendental ulps (the same class as the reference's CUDA
+fastmath), accepted by the parity gate's knife-edge allowance
+(scripts/tpu_parity_check.py::judge).
 
 Run on the real TPU, no other TPU process:
     python scripts/debug_byte2.py
@@ -41,9 +44,14 @@ def build(cell_bits):
     task, _, _, obs, unk, risk, u_cur, noise = build_problem(
         11, K, M, T, H, W, cliffs=True)
     rng = np.random.RandomState(42)
-    qbins = np.sort(rng.choice(101, size=B, replace=False)).astype(np.int8)
-    lin_bins = rng.randint(0, B, (M, H, W))
-    ang_bins = rng.randint(0, B, (M, H, W))
+    # The nibble plane holds 4-bit bin INDICES — cap the bin count or the
+    # pack silently truncates indices >= 16 (round-4 lesson: the original
+    # sweep packed 22-bin indices into nibbles and read garbage).
+    nbins = B if cell_bits == 8 else 12
+    qbins = np.sort(rng.choice(101, size=nbins,
+                               replace=False)).astype(np.int8)
+    lin_bins = rng.randint(0, nbins, (M, H, W))
+    ang_bins = rng.randint(0, nbins, (M, H, W))
     packed = pack_map_words(jnp.asarray(qbins[lin_bins]),
                             jnp.asarray(qbins[ang_bins]),
                             jnp.asarray(obs), jnp.asarray(unk), None)

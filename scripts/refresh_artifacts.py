@@ -51,7 +51,7 @@ def append_parity(logdir):
         print("skip PARITY.md: no q_parity.log")
         return
     lines = [l.rstrip() for l in open(src)
-             if l.startswith(("OK ", "FAIL", "all cases pass"))]
+             if l.startswith(("OK ", "OK~", "FAIL", "all cases pass"))]
     if not lines:
         print("skip PARITY.md: q_parity.log has no OK/FAIL lines")
         return
