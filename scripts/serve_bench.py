@@ -5,7 +5,8 @@ REALISTIC forest-size map (real TPU).
 A planning service runs many closed-loop episodes concurrently (fleets,
 Monte-Carlo evaluation, parallel what-ifs).  This measures that mode at
 flagship fidelity — B independent episodes of K=1024 x M=1024 x T=100
-stochastic solves on a 140x84 map with the planner's honest ROI window —
+stochastic solves on the full 140x84 map (the planner's honest choice:
+its backend-aware ROI threshold declines to crop this shape on TPU) —
 entirely on device (one executable, zero host crossings inside episodes).
 
 For contrast, the HOST-DRIVEN loop through this environment's tunneled
@@ -44,7 +45,11 @@ def main():
                           os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    static, maps, task = bb.build(H, W, bb.roi_for(H, W), "auto")
+    # Full map, no ROI crop: the planner's backend-aware threshold
+    # (mppi.py::_roi_shape) keeps the full 140x84 solve on TPU — the
+    # exact-occupancy banded walk makes it faster than the cropped one
+    # (8.6 vs 11.1 ms, BENCH_BIGMAP.jsonl round 4).
+    static, maps, task = bb.build(H, W, None, "auto")
     # Mean-over-samples objective (alpha=1) for the serving demo episodes.
     static = dataclasses.replace(static, cvar_numel=bb.M)
     rng = np.random.RandomState(0)
@@ -85,7 +90,7 @@ def main():
 
     solves = B * MAX_STEPS
     print(json.dumps({
-        "scenario": "forest_140x84_roi_batched_episodes",
+        "scenario": "forest_140x84_batched_episodes",
         "episodes": B, "steps_per_episode": MAX_STEPS,
         "wall_s": round(wall, 2),
         "flagship_solves_per_s": round(solves / wall, 1),
