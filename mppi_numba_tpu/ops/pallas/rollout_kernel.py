@@ -293,10 +293,19 @@ BYTE2_CELLS_PER_CHUNK = 2 * LANES   # 256 (cell_bits=8: >16-bin TDMs)
 CRUMB_CELLS_PER_CHUNK = 8 * LANES   # 1024 (cell_bits=2: <=4-bin TDMs)
 MASK_CELLS_PER_CHUNK = 16 * LANES   # 2048
 # Walk strategy threshold: a statically unrolled chunk walk pipelines better
-# (measured: 10.7 vs 12.5 ms at 13 chunks on the 85x84 ROI flagship), while
-# the reachability-banded dynamic loop wins once the walk is long (measured:
-# 78.9 -> 51.6 ms at 123 chunks on the full 250x250 map).
-MAX_UNROLLED_CHUNKS = 16
+# while it is short; the EXACT-OCCUPANCY banded walk's cost is nearly flat
+# in total chunk count (it only ever walks the occupied band, ~7.9 ms on
+# v5e at M=256/T=50 for 10-15 chunk maps), so it wins much earlier than the
+# round-2 reachability-cone band did.  Round-5 on-device crossover sweep
+# (scripts/walk_probe.py, BENCH_WALK.jsonl, v5e): unrolled/banded ms =
+# 4.8/5.7 @4ch, 6.0/7.9 @6ch, 7.0/7.9 @8ch, 9.4/7.9 @10ch(crumb),
+# 11.0/7.9 @12ch(crumb), 11.2/7.8 @15ch -> crossover between 8 and 10.
+MAX_UNROLLED_CHUNKS = 8
+# The BYTE kernel has no banded walk, so its routing cutoff (solver.py) is
+# not a banded-vs-unrolled choice but a byte-vs-binned8 one; its 128-cell
+# chunks are a different walk granularity than the probe above measured.
+# Keep the round-2 measured value for that decision.
+MAX_UNROLLED_CHUNKS_BYTE = 16
 
 
 def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,

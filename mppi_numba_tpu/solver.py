@@ -30,7 +30,7 @@ from .ops.packing import (pack_bin_crumbs, pack_bin_nibbles, pack_byte_pairs,
                           pack_map_words, pack_mask_nibbles, pack_risk_bytes)
 from .ops.pallas.rollout_kernel import (DEFAULT_T_UNROLL_BINNED,
                                         DEFAULT_T_UNROLL_BYTE, LANES,
-                                        MAX_UNROLLED_CHUNKS,
+                                        MAX_UNROLLED_CHUNKS_BYTE,
                                         build_bin_luts, build_task_vec,
                                         pallas_rollout_binned_supported,
                                         pallas_rollout_supported,
@@ -85,7 +85,7 @@ def resolve_backend(static: SolverStatic) -> str:
         # All three planning modes bin-pack: speed_map walks one extra
         # shared risk-byte plane (same 512-cells/chunk layout and band).
         return "pallas_binned"
-    if byte_ok and H * W <= MAX_UNROLLED_CHUNKS * LANES:
+    if byte_ok and H * W <= MAX_UNROLLED_CHUNKS_BYTE * LANES:
         # The byte kernel has no banded walk — only keep it while its
         # fully unrolled 128-cells/chunk walk stays short.
         return "pallas"

@@ -158,6 +158,10 @@ def main():
         ("max_250x250_stream_speed", 250, 250, None,
          "pallas_binned_stream", "speed_map", 30),
     ]
+    pats = sys.argv[1:]
+    if pats:
+        scenarios = [s for s in scenarios
+                     if any(p in s[0] for p in pats)]
     for label, H, W, roi, backend, mode, n in scenarios:
         bins = (22 if "22bin" in label else
                 4 if "4bin" in label else

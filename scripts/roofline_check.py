@@ -43,15 +43,20 @@ from mppi_numba_tpu.ops.pallas.rollout_kernel import (
 from mppi_numba_tpu.profiling import chained_kernel_time
 
 
-def measure(H, W, banded, n=20):
+def measure(H, W, banded, n=20, max_unrolled=None):
+    """``max_unrolled`` overrides the walk-strategy threshold: the ladder
+    passes a large value to force the static unrolled walk (the quantity
+    being fit) even on shapes production now routes to the banded walk
+    (MAX_UNROLLED_CHUNKS dropped 16 -> 8 in round 5, BENCH_WALK.jsonl)."""
     nib, maskw, lut, tv, v_all, w_all = build_binned_problem(H, W)
     m_tile = pallas_rollout_binned_supported(M, H * W, T, B,
                                              speed_map=False)
     assert m_tile, (H, W)
+    kw = {} if max_unrolled is None else {"max_unrolled": max_unrolled}
     ms = chained_kernel_time(
         lambda v: terrain_rollout_costs_pallas_binned(
             nib, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
-            fast_trig=True, banded=banded), v_all, num_iters=n)
+            fast_trig=True, banded=banded, **kw), v_all, num_iters=n)
     n_chunks = -(-(H * W) // NIB_CELLS_PER_CHUNK)
     m_pad = -(-max(M, 8) // 8) * 8
     m_tile = min(m_pad, m_tile)
@@ -104,7 +109,7 @@ def main():
     ladder = [(9, 11), (40, 40), (64, 64), (85, 85)]
     pts = []
     for H, W in ladder:
-        ms, c, progs, m_tile = measure(H, W, banded=True)  # <=16 -> unrolled
+        ms, c, progs, m_tile = measure(H, W, banded=True, max_unrolled=64)
         pts.append((c, progs, ms))
         print(json.dumps({"shape": [H, W], "chunks": c, "programs": progs,
                           "m_tile": m_tile, "ms": round(ms, 3)}), flush=True)
