@@ -370,8 +370,8 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                            n_cell_chunks, n_mask_chunks, n_risk_chunks,
                            fast_trig, step_fn, banded, speed_map,
                            cell_bits=4, t_unroll=1,
-                           band_unroll=DEFAULT_BAND_UNROLL, stream=False,
-                           stream_band=STREAM_BAND,
+                           band_unroll=DEFAULT_BAND_UNROLL, band_anchor=1,
+                           stream=False, stream_band=STREAM_BAND,
                            max_unrolled=MAX_UNROLLED_CHUNKS):
     refs = list(refs)
     if stream:
@@ -437,8 +437,12 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     # reductions per step are shared by the nibble / mask / risk walks.
     def banded_walk(cell_lo, cell_hi, cell, table3, cells_per_chunk,
                     idx_shift, n_data, unroll=band_unroll):
-        c_lo = cell_lo // cells_per_chunk
-        c_hi = cell_hi // cells_per_chunk + 1
+        # Clamp before dividing: margin-widened group bands (band_anchor>1)
+        # may extend past the map; over-walked chunks mask to zero, but the
+        # bounds themselves must stay inside the chunk table.
+        c_lo = jnp.maximum(cell_lo, 0) // cells_per_chunk
+        c_hi = (jnp.minimum(cell_hi, n_data * cells_per_chunk - 1)
+                // cells_per_chunk + 1)
 
         def one(c, words):
             tab = table3[c]
@@ -550,16 +554,28 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             return jax.lax.fori_loop(0, n_pairs, pair,
                                      jnp.zeros(shape, jnp.int32))
 
-    def step(t, carry):
+    def cell_of(x, y):
+        xi = jnp.clip(jnp.floor((x - xlim0) * inv_res).astype(jnp.int32),
+                      0, W - 1)
+        yi = jnp.clip(jnp.floor((y - ylim0) * inv_res).astype(jnp.int32),
+                      0, H - 1)
+        return yi * W + xi
+
+    def step(t, carry, band=None):
         x, y, hd, cost, dist2, reachedf = carry
         v_t = v_ref[t, :].reshape(1, LANES)
         w_t = w_ref[t, :].reshape(1, LANES)
 
-        xi = jnp.clip(jnp.floor((x - xlim0) * inv_res).astype(jnp.int32), 0, W - 1)
-        yi = jnp.clip(jnp.floor((y - ylim0) * inv_res).astype(jnp.int32), 0, H - 1)
-        cell = yi * W + xi
+        cell = cell_of(x, y)
         if use_band:
-            cell_lo, cell_hi = jnp.min(cell), jnp.max(cell)
+            if band is None:
+                cell_lo, cell_hi = jnp.min(cell), jnp.max(cell)
+            else:
+                # Margin-anchored group band (band_anchor > 1): the scalar
+                # bounds were derived from an exact reduction at the
+                # group's first step plus the per-step displacement margin
+                # — no vector->scalar sync on this step.
+                cell_lo, cell_hi = band
         if stream:
             c_lo = cell_lo // cell_cpc
             n_win = (cell_hi // cell_cpc + 1 - c_lo
@@ -674,7 +690,38 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     init = (jnp.full(shape, x0x, f32), jnp.full(shape, x0y, f32),
             hd0, jnp.zeros(shape, f32),
             jnp.full(shape, 1e9, f32), jnp.zeros(shape, f32))
-    x, y, hd, cost, dist2, reachedf = _run_time_loop(T, step, init, t_unroll)
+    if band_anchor > 1 and use_band and not stream:
+        # Group-banded walk: one exact (min, max) vector->scalar reduction
+        # per ``band_anchor`` steps instead of per step; steps inside the
+        # group widen the anchor band by the per-step displacement bound
+        # the host already computes for ROI sizing (build_task_vec idx 18,
+        # = max|v| * traction_ub * dt / res cells).  The scalar dependency
+        # between the occupancy reduction and the walk's dynamic loop
+        # bounds stalls the pipeline each step; anchoring amortizes it
+        # band_anchor-fold for ~(j * margin) extra masked-to-zero chunk
+        # walks.  Only valid for displacement-bounded models (the solver
+        # gates on models.has_displacement_bound, the ROI crop's contract).
+        # 1.01: fast_trig's Maclaurin rotation may overshoot |cos|,|sin|
+        # by ~1e-4 over the horizon.
+        mcell = ((jnp.floor(task_ref[0, 18] * 1.01).astype(jnp.int32) + 1)
+                 * (W + 1))
+
+        def group(i, carry):
+            t0 = i * band_anchor
+            cell0 = cell_of(carry[0], carry[1])
+            lo0, hi0 = jnp.min(cell0), jnp.max(cell0)
+            for j in range(band_anchor):
+                carry = step(t0 + j, carry,
+                             band=(lo0 - j * mcell, hi0 + j * mcell))
+            return carry
+
+        carry = jax.lax.fori_loop(0, T // band_anchor, group, init)
+        for t in range((T // band_anchor) * band_anchor, T):
+            carry = step(t, carry)
+        x, y, hd, cost, dist2, reachedf = carry
+    else:
+        x, y, hd, cost, dist2, reachedf = _run_time_loop(T, step, init,
+                                                         t_unroll)
     cost_ref[:] = cost + (1.0 - reachedf) * jnp.sqrt(dist2) / (v_post + 1e-6)
 
 
@@ -682,7 +729,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                    static_argnames=("H", "W", "T", "fast_trig", "interpret",
                                     "m_tile", "step_fn", "banded",
                                     "cell_bits", "t_unroll", "band_unroll",
-                                    "stream", "stream_band",
+                                    "band_anchor", "stream", "stream_band",
                                     "max_unrolled"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, risk_words=None,
@@ -691,6 +738,7 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         m_tile=None, step_fn=None,
                                         banded=True, cell_bits=4, t_unroll=1,
                                         band_unroll=DEFAULT_BAND_UNROLL,
+                                        band_anchor=1,
                                         stream=False,
                                         stream_band=STREAM_BAND,
                                         max_unrolled=MAX_UNROLLED_CHUNKS):
@@ -770,7 +818,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                fast_trig=fast_trig, step_fn=step_fn,
                                banded=banded, speed_map=speed_map,
                                cell_bits=cell_bits, t_unroll=t_unroll,
-                               band_unroll=band_unroll, stream=stream,
+                               band_unroll=band_unroll,
+                               band_anchor=band_anchor, stream=stream,
                                stream_band=stream_band,
                                max_unrolled=max_unrolled)
     if stream:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverStatic
-from .models import clip_controls, get_step_fn
+from .models import clip_controls, get_step_fn, has_displacement_bound
 from .ops.cvar import cvar_from_costs, cvar_from_costs_dynamic
 
 # Sentinel for SolverStatic.cvar_numel: read the traced task.cvar_alpha
@@ -220,11 +220,17 @@ def make_rollout_backend(static: SolverStatic):
             v_all, w_all = _padded_controls(u, noise, task)
             cell_bits = {"pallas_binned": 4, "pallas_binned2": 2,
                          "pallas_binned8": 8}[backend]
+            # Group-banded walk (one occupancy reduction per t_unroll'd
+            # group) rides the same displacement bound as the ROI crop, so
+            # it gates on the same model property.
+            anchor = (DEFAULT_T_UNROLL_BINNED
+                      if has_displacement_bound(static.model) else 1)
             costs_km = terrain_rollout_costs_pallas_binned(
                 nib, maskw, lut, build_task_vec(task), v_all, w_all, riskw,
                 H=H, W=W, T=T, fast_trig=fast_trig, step_fn=step_fn,
                 interpret=interpret, cell_bits=cell_bits,
-                t_unroll=DEFAULT_T_UNROLL_BINNED, stream=stream)
+                t_unroll=DEFAULT_T_UNROLL_BINNED, band_anchor=anchor,
+                stream=stream)
             return costs_km[:k]
         return terrain_rollout_costs(payload, task, u, noise,
                                      speed_map=speed_map, step_fn=step_fn)

@@ -114,7 +114,8 @@ STREAM_CASES = [
 
 
 def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig,
-                    t_unroll=1, cell_bits=4, stream=False):
+                    t_unroll=1, cell_bits=4, stream=False,
+                    band_anchor=1):
     from mppi_numba_tpu.ops.packing import pack_byte_pairs, pack_risk_bytes
 
     task, _, _, obs, unk, risk, u_cur, noise = build_problem(
@@ -147,7 +148,7 @@ def run_binned_case(name, K, M, T, H, W, B, speed_map, fast_trig,
         lut, build_task_vec(task), v_all, w_all,
         pack_risk_bytes(jnp.asarray(risk)) if speed_map else None,
         H=H, W=W, T=T, fast_trig=fast_trig, cell_bits=cell_bits,
-        t_unroll=t_unroll, stream=stream))
+        t_unroll=t_unroll, stream=stream, band_anchor=band_anchor))
     return ref, got
 
 
@@ -250,6 +251,27 @@ def main():
               f"(tol 1e-04)")
         if not passed:
             failures.append(f"bin-forest t_unroll={tu}")
+    # Group-banded walk (band_anchor > 1, round 5): the margin-widened
+    # anchor band must cover every visited cell ON HARDWARE — a Mosaic
+    # scalar-arithmetic divergence from the interpret-mode tests would
+    # show up as cells decoding to zero traction.  Production config is
+    # anchor = t_unroll = 4; T=50 % 4 exercises the per-step-band tail.
+    for name, M, HH, WW, bits in (("bin-forest", 256, 140, 84, 4),
+                                  ("crumb-250", 256, 250, 250, 2),
+                                  ("bin-speed-250", 1, 250, 250, 4)):
+        ref, got = run_binned_case(name, 512, M, 50, HH, WW,
+                                   12 if bits == 4 else 4,
+                                   name.startswith("bin-speed"), False,
+                                   t_unroll=4, cell_bits=bits,
+                                   band_anchor=4)
+        relmap = np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)
+        rel = float(relmap.max())
+        worst = max(worst, rel)
+        passed, status = judge(relmap, 1e-4)
+        print(f"{status} {name} band_anchor=4 max rel err {rel:.2e} "
+              f"(tol 1e-04)")
+        if not passed:
+            failures.append(f"{name} band_anchor=4")
     task, lin, ang, obs, unk, risk, u_cur, noise = build_problem(
         7, 1024, 256, 50, 11, 11, cliffs=True)
     packed = pack_map_words(jnp.asarray(lin), jnp.asarray(ang),

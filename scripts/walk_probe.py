@@ -47,6 +47,32 @@ def case(kernel, H, W):
                           "ms": round(ms, 3)}), flush=True)
 
 
+def anchor_case(kernel, H, W, t_unroll=4):
+    """Round-5 group-band probe: one occupancy (min,max) reduction per
+    ``band_anchor`` steps (margin-widened within the group) vs per-step.
+    The hypothesis is the per-step vector->scalar sync on the walk's loop
+    bounds is the flat ~7.9 ms floor BENCH_WALK.jsonl shows for the banded
+    walk regardless of band size."""
+    if kernel == "crumb":
+        cells, maskw, lut, tv, v_all, w_all = build_crumb_problem(H, W)
+        cell_bits, cpc = 2, CRUMB_CELLS_PER_CHUNK
+    else:
+        cells, maskw, lut, tv, v_all, w_all = build_binned_problem(H, W)
+        cell_bits, cpc = 4, NIB_CELLS_PER_CHUNK
+    n_chunks = -(-(H * W) // cpc)
+    for ba in (1, 2, t_unroll):
+        ms = chained_kernel_time(
+            lambda v, ba=ba: terrain_rollout_costs_pallas_binned(
+                cells, maskw, lut, tv, v, w_all, H=H, W=W, T=T,
+                fast_trig=True, cell_bits=cell_bits, max_unrolled=0,
+                t_unroll=t_unroll, band_anchor=ba),
+            v_all)
+        print(json.dumps({"kernel": kernel, "shape": [H, W],
+                          "chunks": n_chunks, "walk": "banded",
+                          "band_anchor": ba, "t_unroll": t_unroll,
+                          "ms": round(ms, 3)}), flush=True)
+
+
 if __name__ == "__main__":
     from _bench_common import require_live_tpu
     require_live_tpu()
@@ -55,6 +81,13 @@ if __name__ == "__main__":
                           os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     assert jax.default_backend() == "tpu", jax.default_backend()
+    if "--anchor" in sys.argv:
+        anchor_case("nibble", 140, 84)   # forest: 23 chunks, always banded
+        anchor_case("nibble", 85, 85)    # ROI flagship: 15 chunks
+        anchor_case("nibble", 250, 250)  # 123 chunks
+        anchor_case("crumb", 250, 250)   # 62 chunks
+        anchor_case("crumb", 140, 84)    # 12 chunks
+        sys.exit(0)
     case("crumb", 140, 84)    # 12 chunks — the roofline's 2.0x outlier
     case("nibble", 85, 85)    # 15 chunks — the ROI flagship shape
     case("nibble", 64, 64)    # 8 chunks

@@ -180,6 +180,39 @@ def test_binned_kernel_banded_walk_path():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("cell_bits,band_anchor,t_unroll", [
+    (4, 4, 4),   # production config (solver passes anchor = t_unroll)
+    (4, 2, 4),   # anchor smaller than the unroll group
+    (4, 5, 5),   # T=12 -> 2 groups + 2-step per-step-band tail
+    (2, 4, 4),   # crumb plane
+])
+def test_binned_kernel_group_band(cell_bits, band_anchor, t_unroll):
+    """Group-banded walk (band_anchor > 1): one exact occupancy reduction
+    per group, later in-group steps widen it by the per-step displacement
+    bound (build_task_vec idx 18).  The margin must cover every visited
+    cell, so costs match the oracle bitwise-tight just like the per-step
+    band (round-5 addition; gated on models.has_displacement_bound)."""
+    from mppi_numba_tpu.ops.pallas.rollout_kernel import (
+        NIB_CELLS_PER_CHUNK, CRUMB_CELLS_PER_CHUNK)
+
+    H, W = 96, 92
+    if cell_bits == 4:
+        task, packed, plane, maskw, lut, u_cur, noise = build_binned_problem(
+            seed=23, K=128, M=8, T=12, H=H, W=W)
+        cpc = NIB_CELLS_PER_CHUNK
+    else:
+        task, packed, plane, maskw, lut, u_cur, noise = build_crumb_problem(
+            seed=23, K=128, M=8, T=12, H=H, W=W)
+        cpc = CRUMB_CELLS_PER_CHUNK
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange, task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        plane, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=12, interpret=True, cell_bits=cell_bits,
+        max_unrolled=0, band_anchor=band_anchor, t_unroll=t_unroll))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("cell_bits,shape,stream_band", [
     (4, (40, 40), 8),    # fewer cell chunks than one DMA window (clamp path)
     (4, (160, 128), 8),  # 40 chunks -> multi-window streaming
