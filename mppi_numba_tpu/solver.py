@@ -78,30 +78,57 @@ def resolve_backend(static: SolverStatic) -> str:
         # <=4-bin TDMs crumb-pack: 1024 cells/chunk halves the nibble
         # layout's chunk walk (and its VMEM) at identical decode cost.
         return "pallas_binned2"
-    if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
-                                       static.num_steps,
-                                       static.num_pmf_bins,
-                                       speed_map=static.mode == "speed_map"):
+    sm = static.mode == "speed_map"
+
+    def _maybe_stream(name, cell_bits):
+        """Prefer the HBM-streaming variant when it lifts the sublane tile
+        by >= 4x over the VMEM-resident layout (a huge map forcing the
+        resident tile down to 64 or 32): measured on the uncropped 250x250
+        tdm at M=1024, resident m_tile=64 runs 18.7 ms vs streamed
+        m_tile=256 at 17.7 ms (BENCH_BIGMAP.jsonl), and the gap widens as
+        the resident tile shrinks further.  At equal tiles the resident
+        walk wins (forest: 7.6 vs 10.5 ms), so smaller lifts stay put."""
+        m_res = pallas_rollout_binned_supported(
+            static.num_grid_samples, H * W, static.num_steps,
+            static.num_pmf_bins, speed_map=sm, cell_bits=cell_bits)
+        if not m_res:
+            return None
+        m_str = pallas_rollout_binned_supported(
+            static.num_grid_samples, H * W, static.num_steps,
+            static.num_pmf_bins, speed_map=sm, cell_bits=cell_bits,
+            stream=True)
+        if m_str and m_str >= 4 * m_res:
+            return name + "_stream"
+        return name
+
+    be = _maybe_stream("pallas_binned", 4)
+    if be:
         # All three planning modes bin-pack: speed_map walks one extra
         # shared risk-byte plane (same 512-cells/chunk layout and band).
-        return "pallas_binned"
+        return be
     if byte_ok and H * W <= MAX_UNROLLED_CHUNKS_BYTE * LANES:
         # The byte kernel has no banded walk — only keep it while its
         # fully unrolled 128-cells/chunk walk stays short.
         return "pallas"
-    if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
-                                       static.num_steps,
-                                       speed_map=static.mode == "speed_map",
-                                       cell_bits=8):
+    be = _maybe_stream("pallas_binned8", 8)
+    if be:
         # >16-bin TDMs on realistic maps: the nibble layout can't hold the
         # bin index and the one-word-per-cell byte layout either blows
         # VMEM (large M) or would unroll a prohibitively long walk (det
         # modes), so walk 8-bit decoded-value pairs (256 cells/chunk) —
         # everything else (banded walk, mask/risk planes, t_unroll) is
         # shared with the nibble kernel.
-        return "pallas_binned8"
+        return be
     if byte_ok:
         return "pallas"
+    if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
+                                       static.num_steps,
+                                       static.num_pmf_bins, speed_map=sm,
+                                       cell_bits=8, stream=True):
+        # Resident layouts cannot hold the map at ANY tile (e.g. 22-bin
+        # uncropped 250x250 at M=1024) — stream the byte-pair plane from
+        # HBM rather than fall off the 40x XLA-gather cliff.
+        return "pallas_binned8_stream"
     return "xla"
 
 

@@ -124,6 +124,10 @@ def main():
         ("forest_140x84_byte2_22bin", 140, 84, None, "auto", "tdm", 10),
         ("max_250x250_byte2_22bin_roi", 250, 250, roi_for(250, 250),
          "auto", "tdm", 10),
+        # 22-bin UNCROPPED 250x250 at M=1024: no resident layout holds the
+        # byte-pair plane at a usable tile, so auto streams it from HBM
+        # (round 5) — the pre-round-5 behavior was the ~40x XLA fallback.
+        ("max_250x250_byte2_22bin_full", 250, 250, None, "auto", "tdm", 5),
         # <=4-bin TDMs route to the 2-bit crumb cell plane (1024
         # cells/chunk — half the nibble walk): the headline uncropped
         # 250x250 regime at a practical few-support-point PMF.

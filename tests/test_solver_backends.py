@@ -112,14 +112,17 @@ def test_resolve_backend_routing_over16_bins(monkeypatch):
         static_for(4, (140, 84))) == "pallas_binned2"
     assert solver_mod.resolve_backend(
         static_for(4, (250, 250))) == "pallas_binned2"
+    # >4 bins at 250x250 x M=1024: the resident nibble tile is VMEM-forced
+    # down to 64 while streaming runs 256 — auto prefers the HBM-streaming
+    # walk there (measured 18.7 vs 17.7 ms, BENCH_BIGMAP.jsonl round 5).
     assert solver_mod.resolve_backend(
-        static_for(5, (250, 250))) == "pallas_binned"
+        static_for(5, (250, 250))) == "pallas_binned_stream"
     # ...while tiny maps keep the single-gather byte kernel even at 4 bins.
     assert solver_mod.resolve_backend(static_for(4, (11, 11))) == "pallas"
     assert solver_mod.resolve_backend(
         static_for(22, (140, 84))) == "pallas_binned8"
     assert solver_mod.resolve_backend(
-        static_for(22, (250, 250))) == "pallas_binned8"
+        static_for(22, (250, 250))) == "pallas_binned8_stream"
     # >16-bin mid map: the byte kernel's unrolled walk is still short
     # (1600 cells = 13 chunks <= MAX_UNROLLED_CHUNKS), keep it.
     assert solver_mod.resolve_backend(static_for(22, (40, 40))) == "pallas"
