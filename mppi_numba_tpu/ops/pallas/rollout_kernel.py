@@ -577,9 +577,12 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                 # — no vector->scalar sync on this step.
                 cell_lo, cell_hi = band
         if stream:
-            c_lo = cell_lo // cell_cpc
-            n_win = (cell_hi // cell_cpc + 1 - c_lo
-                     + stream_band - 1) // stream_band
+            # Clamp before dividing (margin-widened group bands may extend
+            # past the plane; window DMAs additionally clamp to max_base).
+            c_lo = jnp.maximum(cell_lo, 0) // cell_cpc
+            c_hi = (jnp.minimum(cell_hi, n_cell_chunks * cell_cpc - 1)
+                    // cell_cpc + 1)
+            n_win = (c_hi - c_lo + stream_band - 1) // stream_band
             stream_start(c_lo, 0, 0)
 
             @pl.when(n_win > 1)
@@ -699,8 +702,12 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         # between the occupancy reduction and the walk's dynamic loop
         # bounds stalls the pipeline each step; anchoring amortizes it
         # band_anchor-fold for ~(j * margin) extra masked-to-zero chunk
-        # walks.  Only valid for displacement-bounded models (the solver
-        # gates on models.has_displacement_bound, the ROI crop's contract).
+        # walks.  NOT used under ``stream``: the margin-widened band there
+        # widens the per-step DMA windows, and the measured traffic cost
+        # exceeds the sync saving (forest stream 10.8 -> 12.9 ms at
+        # anchor=4; 250x250 a wash — round-5 probe).  Only valid for
+        # displacement-bounded models (the solver gates on
+        # models.has_displacement_bound, the ROI crop's contract).
         # 1.01: fast_trig's Maclaurin rotation may overshoot |cos|,|sin|
         # by ~1e-4 over the horizon.
         mcell = ((jnp.floor(task_ref[0, 18] * 1.01).astype(jnp.int32) + 1)

@@ -180,13 +180,14 @@ def test_binned_kernel_banded_walk_path():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.parametrize("cell_bits,band_anchor,t_unroll", [
-    (4, 4, 4),   # production config (solver passes anchor = t_unroll)
-    (4, 2, 4),   # anchor smaller than the unroll group
-    (4, 5, 5),   # T=12 -> 2 groups + 2-step per-step-band tail
-    (2, 4, 4),   # crumb plane
+@pytest.mark.parametrize("cell_bits,band_anchor,t_unroll,stream", [
+    (4, 4, 4, False),  # production config (solver passes anchor = t_unroll)
+    (4, 2, 4, False),  # anchor smaller than the unroll group
+    (4, 5, 5, False),  # T=12 -> 2 groups + 2-step per-step-band tail
+    (2, 4, 4, False),  # crumb plane
+    (4, 4, 4, True),   # stream path: anchor band also sizes the DMA windows
 ])
-def test_binned_kernel_group_band(cell_bits, band_anchor, t_unroll):
+def test_binned_kernel_group_band(cell_bits, band_anchor, t_unroll, stream):
     """Group-banded walk (band_anchor > 1): one exact occupancy reduction
     per group, later in-group steps widen it by the per-step displacement
     bound (build_task_vec idx 18).  The margin must cover every visited
@@ -209,7 +210,8 @@ def test_binned_kernel_group_band(cell_bits, band_anchor, t_unroll):
     got = np.asarray(terrain_rollout_costs_pallas_binned(
         plane, maskw, lut, build_task_vec(task), v_all, w_all,
         H=H, W=W, T=12, interpret=True, cell_bits=cell_bits,
-        max_unrolled=0, band_anchor=band_anchor, t_unroll=t_unroll))
+        max_unrolled=0, band_anchor=band_anchor, t_unroll=t_unroll,
+        stream=stream, stream_band=4))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
