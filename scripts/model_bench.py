@@ -72,6 +72,22 @@ def bench_terrain_model(model, backend="auto"):
     return bb.measure(static, maps, task, 30)
 
 
+def bench_scale(K, mode, n=20):
+    """The README's scale rows (K=1024/10240 det + stochastic on the
+    flagship 11x11 world) — previously round-1 ad-hoc numbers, now a
+    committed scenario so the table is reproducible at HEAD."""
+    import math
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bigmap_bench as bb
+
+    static, maps, task = bb.build(11, 11, None, "auto", mode=mode)
+    m = static.num_grid_samples
+    static = dataclasses.replace(
+        static, num_control_rollouts=K, num_pmf_bins=12,
+        cvar_numel=math.ceil(m * bb.CVAR_ALPHA) if m > 1 else 1)
+    return bb.measure(static, maps, task, n)
+
+
 def main():
     from _bench_common import require_live_tpu
     require_live_tpu()
@@ -96,6 +112,16 @@ def main():
         print(json.dumps({
             "scenario": "terrain_K1024_M1024_T100_{}".format(model),
             "backend": backend, "ms_per_solve": round(ms, 3)}), flush=True)
+    for K, mode in ((1024, "det_dyn"), (10240, "det_dyn"), (10240, "tdm")):
+        try:
+            ms = bench_scale(K, mode)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"scenario": f"scale_K{K}_{mode}",
+                              "error": str(e).splitlines()[0][:120]}),
+                  flush=True)
+            continue
+        print(json.dumps({"scenario": f"scale_K{K}_{mode}",
+                          "ms_per_solve": round(ms, 3)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -5,8 +5,8 @@ REALISTIC forest-size map (real TPU).
 A planning service runs many closed-loop episodes concurrently (fleets,
 Monte-Carlo evaluation, parallel what-ifs).  This measures that mode at
 flagship fidelity — B independent episodes of K=1024 x M=1024 x T=100
-stochastic solves on the full 140x84 map (the planner's honest choice:
-its backend-aware ROI threshold declines to crop this shape on TPU) —
+stochastic solves on the 140x84 map (the planner's honest choice: since
+the round-5 crossover fix its ROI threshold crops this shape again) —
 entirely on device (one executable, zero host crossings inside episodes).
 
 For contrast, the HOST-DRIVEN loop through this environment's tunneled
