@@ -216,24 +216,16 @@ class MPPIPlanner:
         cells = int(math.ceil(reach_m / float(self.lin_tdm.res))) + 2
         r = 2 * cells + 1
         rH, rW = min(H, r), min(W, r)
-        if jax.default_backend() == "tpu":
-            # The Pallas kernels' exact-occupancy banded walk already
-            # bounds the in-kernel chunk walk to the visited cells, so
-            # cropping's remaining win is smaller packing/sampling vs the
-            # per-solve dynamic-slice crop of the (M, H, W) PMF planes.
-            # The round-4 1/3 threshold was calibrated against the old
-            # 16-chunk unrolled-walk cutoff that made mid-size ROI windows
-            # run the slow walk; with the measured 8-chunk crossover and
-            # the group-anchored band (round 5, BENCH_WALK.jsonl) cropping
-            # wins again at window/map 0.58 (forest: full 7.63 ms vs ROI
-            # 6.81 ms) and by 2.6x at 0.11 (250x250: 18.6 vs 7.08 ms) —
-            # crop whenever the window is under ~3/4 of the map.
-            threshold_crop = rH * rW * 4 < H * W * 3
-        else:
-            # XLA-rollout fallback (CPU tests/examples): the per-step map
-            # gather scales with map area, so cropping pays at any
-            # meaningful shrink.
-            threshold_crop = rH * rW * 4 < H * W * 3
+        # Crop whenever the window is under ~3/4 of the map, on every
+        # backend.  TPU evidence: the round-4 1/3 threshold was calibrated
+        # against the old 16-chunk unrolled-walk cutoff that made mid-size
+        # ROI windows run the slow walk; with the measured 8-chunk
+        # crossover and the group-anchored band (round 5, BENCH_WALK.jsonl)
+        # cropping wins again at window/map 0.58 (forest: full 7.63 ms vs
+        # ROI 6.81 ms) and by 2.6x at 0.11 (250x250: 18.6 vs 7.08 ms).
+        # On the XLA fallback (CPU tests/examples) the per-step map gather
+        # scales with map area, so cropping pays at any meaningful shrink.
+        threshold_crop = rH * rW * 4 < H * W * 3
         if not threshold_crop:
             return None
         return (rH, rW)

@@ -893,12 +893,18 @@ def build_bin_luts(task, lin_qbins, ang_qbins):
 
 def build_task_vec(task):
     """Pack the TerrainTask scalars the kernel needs into an (8, 128) tile."""
-    # Index 18: upper bound on per-step cell displacement.  The kernel's
-    # banded walk no longer reads it (the exact-occupancy band needs no
-    # displacement bound); kept for tile-layout stability — the same bound
-    # still gates ROI sizing on the host (mppi.py::MPPIPlanner._roi_shape).
+    # Index 18: upper bound on per-step cell displacement.  Read by the
+    # group-anchored banded walk (band_anchor > 1) to widen the in-group
+    # margin, so it must bound EVERY decodable traction: cell values are
+    # int8, so 127 (not the nominal 0..100 quantization range) is the
+    # hard decode ceiling ``lb + ratio * value`` can reach — a PMF grid
+    # whose quantized bin values exceeded 100 would otherwise let rollouts
+    # outrun the margin band and silently decode zero traction.  The same
+    # bound (from the TDM's actual value bounds) gates ROI sizing on the
+    # host (mppi.py::MPPIPlanner._roi_shape).
     vmax = jnp.maximum(jnp.abs(task.vrange[0]), jnp.abs(task.vrange[1]))
-    tr_ub = task.lin_lb + task.lin_ratio * 100.0
+    tr_ub = jnp.maximum(task.lin_lb,
+                        task.lin_lb + task.lin_ratio * 127.0)
     max_cells_per_step = vmax * tr_ub * task.dt / task.res
     vec = jnp.stack([
         task.x0[0], task.x0[1], task.x0[2],

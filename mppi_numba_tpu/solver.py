@@ -70,14 +70,6 @@ def resolve_backend(static: SolverStatic) -> str:
     # fewer chunks (and fits VMEM at flagship M on realistic maps).
     if byte_ok and H * W <= 4 * LANES:
         return "pallas"
-    if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
-                                       static.num_steps,
-                                       static.num_pmf_bins,
-                                       speed_map=static.mode == "speed_map",
-                                       cell_bits=2):
-        # <=4-bin TDMs crumb-pack: 1024 cells/chunk halves the nibble
-        # layout's chunk walk (and its VMEM) at identical decode cost.
-        return "pallas_binned2"
     sm = static.mode == "speed_map"
 
     def _maybe_stream(name, cell_bits):
@@ -87,20 +79,28 @@ def resolve_backend(static: SolverStatic) -> str:
         tdm at M=1024, resident m_tile=64 runs 18.7 ms vs streamed
         m_tile=256 at 17.7 ms (BENCH_BIGMAP.jsonl), and the gap widens as
         the resident tile shrinks further.  At equal tiles the resident
-        walk wins (forest: 7.6 vs 10.5 ms), so smaller lifts stay put."""
+        walk wins (forest: 7.6 vs 10.5 ms), so smaller lifts stay put.
+        When NO resident tile fits at all, streaming this layout is
+        strictly better than falling through to a wider-cell one (2x the
+        chunks and HBM traffic per step)."""
         m_res = pallas_rollout_binned_supported(
             static.num_grid_samples, H * W, static.num_steps,
             static.num_pmf_bins, speed_map=sm, cell_bits=cell_bits)
-        if not m_res:
-            return None
         m_str = pallas_rollout_binned_supported(
             static.num_grid_samples, H * W, static.num_steps,
             static.num_pmf_bins, speed_map=sm, cell_bits=cell_bits,
             stream=True)
+        if not m_res:
+            return name + "_stream" if m_str else None
         if m_str and m_str >= 4 * m_res:
             return name + "_stream"
         return name
 
+    be2 = _maybe_stream("pallas_binned2", 2)
+    if be2:
+        # <=4-bin TDMs crumb-pack: 1024 cells/chunk halves the nibble
+        # layout's chunk walk (and its VMEM) at identical decode cost.
+        return be2
     be = _maybe_stream("pallas_binned", 4)
     if be:
         # All three planning modes bin-pack: speed_map walks one extra
@@ -121,14 +121,6 @@ def resolve_backend(static: SolverStatic) -> str:
         return be
     if byte_ok:
         return "pallas"
-    if pallas_rollout_binned_supported(static.num_grid_samples, H * W,
-                                       static.num_steps,
-                                       static.num_pmf_bins, speed_map=sm,
-                                       cell_bits=8, stream=True):
-        # Resident layouts cannot hold the map at ANY tile (e.g. 22-bin
-        # uncropped 250x250 at M=1024) — stream the byte-pair plane from
-        # HBM rather than fall off the 40x XLA-gather cliff.
-        return "pallas_binned8_stream"
     return "xla"
 
 

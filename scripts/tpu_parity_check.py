@@ -256,16 +256,17 @@ def main():
     # scalar-arithmetic divergence from the interpret-mode tests would
     # show up as cells decoding to zero traction.  Production config is
     # anchor = t_unroll = 4; T=50 % 4 exercises the per-step-band tail.
-    for name, M, HH, WW, bits, st in (
-            ("bin-forest", 256, 140, 84, 4, False),
-            ("crumb-250", 256, 250, 250, 2, False),
-            ("bin-speed-250", 1, 250, 250, 4, False),
-            ("stream-250", 256, 250, 250, 4, True)):
+    # (The stream path ignores band_anchor by design — no stream case
+    # here; the STREAM_CASES above already pin that path on hardware.)
+    for name, M, HH, WW, bits in (
+            ("bin-forest", 256, 140, 84, 4),
+            ("crumb-250", 256, 250, 250, 2),
+            ("bin-speed-250", 1, 250, 250, 4)):
         ref, got = run_binned_case(name, 512, M, 50, HH, WW,
                                    12 if bits == 4 else 4,
                                    name.startswith("bin-speed"), False,
                                    t_unroll=4, cell_bits=bits,
-                                   band_anchor=4, stream=st)
+                                   band_anchor=4)
         relmap = np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)
         rel = float(relmap.max())
         worst = max(worst, rel)

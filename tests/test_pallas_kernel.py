@@ -168,7 +168,7 @@ def test_binned_kernel_banded_walk_path():
     from mppi_numba_tpu.ops.pallas.rollout_kernel import (
         MAX_UNROLLED_CHUNKS, NIB_CELLS_PER_CHUNK)
 
-    H, W = 96, 92           # 8832 cells -> 18 nibble chunks > 16
+    H, W = 96, 92           # 8832 cells -> 18 nibble chunks > threshold
     assert -(-H * W // NIB_CELLS_PER_CHUNK) > MAX_UNROLLED_CHUNKS
     task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
         seed=11, K=128, M=8, T=12, H=H, W=W)
@@ -185,7 +185,10 @@ def test_binned_kernel_banded_walk_path():
     (4, 2, 4, False),  # anchor smaller than the unroll group
     (4, 5, 5, False),  # T=12 -> 2 groups + 2-step per-step-band tail
     (2, 4, 4, False),  # crumb plane
-    (4, 4, 4, True),   # stream path: anchor band also sizes the DMA windows
+    # Stream path IGNORES band_anchor (measured regression: the margin
+    # widens the DMA windows) — this case pins that passing an anchor with
+    # stream=True stays correct and per-step-banded.
+    (4, 4, 4, True),
 ])
 def test_binned_kernel_group_band(cell_bits, band_anchor, t_unroll, stream):
     """Group-banded walk (band_anchor > 1): one exact occupancy reduction

@@ -124,7 +124,8 @@ def test_resolve_backend_routing_over16_bins(monkeypatch):
     assert solver_mod.resolve_backend(
         static_for(22, (250, 250))) == "pallas_binned8_stream"
     # >16-bin mid map: the byte kernel's unrolled walk is still short
-    # (1600 cells = 13 chunks <= MAX_UNROLLED_CHUNKS), keep it.
+    # (1600 cells = 13 chunks <= MAX_UNROLLED_CHUNKS_BYTE=16 — the byte
+    # routing keeps its own cutoff; the banded kernels' crossover is 8).
     assert solver_mod.resolve_backend(static_for(22, (40, 40))) == "pallas"
     # >16-bin LARGE map in a det mode (M=1): the byte kernel fits VMEM but
     # its walk has no banding — a 250x250 map would unroll 489 chunks.
