@@ -218,6 +218,59 @@ def test_binned_kernel_group_band(cell_bits, band_anchor, t_unroll, stream):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
+def test_task_vec_displacement_bound_covers_int8_ceiling():
+    """build_task_vec idx 18 (the group-band margin source) must bound the
+    per-step cell displacement for EVERY decodable traction — int8 cell
+    values reach 127, above the nominal 0..100 quantization range (round-5
+    review finding; a too-small bound lets rollouts outrun the anchor band
+    and silently decode zero traction)."""
+    task, *_ = build_problem(seed=1)
+    f32 = np.float32
+    task = task._replace(res=f32(0.12),
+                         vrange=jnp.asarray([0.0, 3.0], jnp.float32))
+    tv = np.asarray(build_task_vec(task))
+    true_reach = (3.0 * (float(task.lin_lb) + float(task.lin_ratio) * 127.0)
+                  * float(task.dt) / float(task.res))
+    assert tv[0, 18] >= true_reach - 1e-5, (tv[0, 18], true_reach)
+
+
+def test_group_band_parity_with_over100_bin_values():
+    """End-to-end interpret-mode parity with bin values up to 127 under
+    the group-anchored band (companion to the direct bound test above)."""
+    H, W = 96, 92
+    task, _, _, obs, unk, risk, u_cur, noise = build_problem(
+        seed=31, K=128, M=8, T=12, H=H, W=W)
+    # Parameters chosen so the margin DISCRIMINATES: with vmax=3 and
+    # res=0.12 the true per-step reach at value 127 is 3*1.27*0.1/0.12 =
+    # 3.18 cells, while the old 100-based bound gave floor(2.5*1.01)+1 = 3
+    # — strictly too small — and the 127 bound gives floor(3.2)+1 = 4.
+    f32 = np.float32
+    task = task._replace(res=f32(0.12),
+                         vrange=jnp.asarray([0.0, 3.0], jnp.float32))
+    rng = np.random.RandomState(31)
+    B = 12
+    # Force the top of the int8 range into the support.
+    qbins = np.sort(np.concatenate([
+        rng.choice(100, size=B - 2, replace=False),
+        [120, 127]])).astype(np.int8)
+    lin_bins = rng.randint(0, B, (8, H, W))
+    ang_bins = rng.randint(0, B, (8, H, W))
+    packed = pack_map_words(jnp.asarray(qbins[lin_bins]),
+                            jnp.asarray(qbins[ang_bins]),
+                            jnp.asarray(obs), jnp.asarray(unk))
+    nib = pack_bin_nibbles(jnp.asarray(lin_bins), jnp.asarray(ang_bins))
+    maskw = pack_mask_nibbles(jnp.asarray(obs), jnp.asarray(unk))
+    lut = build_bin_luts(task, jnp.asarray(qbins), jnp.asarray(qbins))
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange,
+                                        task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=12, interpret=True, max_unrolled=0, band_anchor=4,
+        t_unroll=4))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.parametrize("cell_bits,shape,stream_band", [
     (4, (40, 40), 8),    # fewer cell chunks than one DMA window (clamp path)
     (4, (160, 128), 8),  # 40 chunks -> multi-window streaming
