@@ -98,9 +98,18 @@ def run_one_sweep(method):
     enable_compile_cache()
     from mppi_numba_tpu.benchmark import run_trials_device
     world, cfg, params = build_problem()
+    # The tethered worker's RPC deadline bites on LONG single executions;
+    # noisy_dyn (M=1024) runs ~2 ms/solve so the default 30-episode chunk
+    # is a ~9 s call healthy — but the shared worker degrades up to ~3x on
+    # bad days, and a repeated wedge pattern (round 5: only ever the
+    # noisy_dyn sweep, twice in one evening) points at chunks brushing the
+    # deadline.  Halve-to-thirds the chunk for the heavy method: ~3 s/call
+    # healthy, still amortizing dispatch.
+    chunk = 10 if method == "noisy_dyn" else 30
     df = run_trials_device(cfg, world, MAX_STEPS, GRID_SHAPE, MUD_MARGIN,
                            RES, params, GRASS_DENSITY_LIST, ENVS_PER_DENSITY,
-                           TRIALS_PER_ENV, ALPHA_LIST, [method], verbose=True)
+                           TRIALS_PER_ENV, ALPHA_LIST, [method], verbose=True,
+                           batch_chunk=chunk)
     os.makedirs(OUT_DIR, exist_ok=True)
     df.to_pickle(sweep_path(method))
 
@@ -229,9 +238,20 @@ def main():
                          .format(ENVS_PER_DENSITY, TRIALS_PER_ENV,
                                  len(GRASS_DENSITY_LIST), _ustd_tag()))
     if not ran_any and os.path.exists(fname):
-        print("not re-saving {} (would clobber the measured wall clock)"
-              .format(fname))
-        return
+        # Only skip when the existing pickle actually covers every method:
+        # a GIVING-UP run saves a partial aggregate, and treating that as
+        # final would freeze an incomplete artifact (round-5 bug).
+        with open(fname, "rb") as fh:
+            prev = pickle.load(fh)
+        have = set(prev["logger"]["method"].unique())
+        if set(METHOD_LIST) <= have:
+            print("not re-saving {} (would clobber the measured wall clock)"
+                  .format(fname))
+            return
+        print("existing {} lacks methods {}; re-saving from cached sweeps "
+              "(wall-clock kept from the measured partial run)"
+              .format(fname, sorted(set(METHOD_LIST) - have)))
+        wall = prev.get("wall_clock_s", wall)
 
     world, cfg, params = build_problem()
     os.makedirs(OUT_DIR, exist_ok=True)

@@ -219,8 +219,19 @@ def main():
         w("")
 
     out = "BENCHMARK_RESULTS.md"
+    # Preserve the hand-maintained tail (closure tables, A/B studies,
+    # residual decompositions from past rounds): everything at or below the
+    # CURATED marker survives regeneration verbatim.
+    marker = ("<!-- CURATED BELOW: hand-maintained sections; "
+              "scripts/summarize_benchmark.py preserves everything under "
+              "this marker -->")
+    curated = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        if marker in prev:
+            curated = "\n" + marker + prev.split(marker, 1)[1]
     with open(out, "w") as fh:
-        fh.write("\n".join(lines))
+        fh.write("\n".join(lines) + curated)
     print("wrote", out)
     print("\n".join(lines[:30]))
 
