@@ -364,6 +364,11 @@ DEFAULT_BAND_UNROLL = 4   # chunks per banded-walk iteration (confirmed by
 # 140x84 (12.71 vs 18.69 ms); 16 is 2.5x worse (32.2 ms) — narrow windows
 # track the band tighter and the doubled DMA count pipelines fine.
 STREAM_BAND = 4
+# Group-resident streaming: windows held across an anchor group (+1 spill
+# slot).  8 resident windows x STREAM_BAND(4) chunks cover a 32-chunk
+# occupancy band — wider than any measured band (250x250 nibble averages
+# ~23+margin) — before the serial spill path engages.
+DEFAULT_STREAM_SLOTS = 9
 
 
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
@@ -372,6 +377,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                            cell_bits=4, t_unroll=1,
                            band_unroll=DEFAULT_BAND_UNROLL, band_anchor=1,
                            stream=False, stream_band=STREAM_BAND,
+                           stream_slots=2, stream_group=False,
                            max_unrolled=MAX_UNROLLED_CHUNKS):
     refs = list(refs)
     if stream:
@@ -503,6 +509,19 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         def stream_start(c_lo, wi, slot):
             stream_dma(win_base(c_lo, wi), slot).start()
 
+        def walk_slot(c_lo, n_win, cell, wi, slot, words):
+            base = win_base(c_lo, wi)
+            valid = wi < n_win
+            for j in range(stream_band):
+                local = cell - (base + j) * cell_cpc
+                inb = (local >= 0) & (local < cell_cpc) & valid
+                g = jnp.take_along_axis(
+                    cell_scratch[slot, j],
+                    (local >> cell_shift) & (LANES - 1),
+                    axis=1, mode="promise_in_bounds")
+                words = words | jnp.where(inb, g, 0)
+            return words
+
         def stream_walk(c_lo, n_win, cell):
             """Walk the banded chunk range in STREAM_BAND-chunk DMA windows,
             DOUBLE-BUFFERED over two static scratch slots: windows 0/1 are
@@ -515,24 +534,11 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             loads, the exact cost the resident banded walk pays).  A
             window's contribution is additionally gated on ``wi < n_win``:
             a stale slot from a previous step must never be walked."""
-            def walk_slot(wi, slot, words):
-                base = win_base(c_lo, wi)
-                valid = wi < n_win
-                for j in range(stream_band):
-                    local = cell - (base + j) * cell_cpc
-                    inb = (local >= 0) & (local < cell_cpc) & valid
-                    g = jnp.take_along_axis(
-                        cell_scratch[slot, j],
-                        (local >> cell_shift) & (LANES - 1),
-                        axis=1, mode="promise_in_bounds")
-                    words = words | jnp.where(inb, g, 0)
-                return words
-
             def pair(i, words):
                 w0 = 2 * i
                 # Slot 0: window w0 always exists for i < n_pairs.
                 stream_dma(win_base(c_lo, w0), 0).wait()
-                words = walk_slot(w0, 0, words)
+                words = walk_slot(c_lo, n_win, cell, w0, 0, words)
 
                 @pl.when(w0 + 2 < n_win)
                 def _():
@@ -543,7 +549,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                 @pl.when(w0 + 1 < n_win)
                 def _():
                     stream_dma(win_base(c_lo, w0 + 1), 1).wait()
-                words = walk_slot(w0 + 1, 1, words)
+                words = walk_slot(c_lo, n_win, cell, w0 + 1, 1, words)
 
                 @pl.when(w0 + 3 < n_win)
                 def _():
@@ -554,6 +560,44 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             return jax.lax.fori_loop(0, n_pairs, pair,
                                      jnp.zeros(shape, jnp.int32))
 
+        # Group-resident streaming (stream + band_anchor > 1): the anchor
+        # band is FIXED across the unrolled group, so its DMA windows are
+        # identical for every in-group step — transfer each window ONCE per
+        # group (into its own static slot; started at group entry, waited
+        # on the group's first step) and let all ``band_anchor`` steps walk
+        # the resident copies: HBM traffic drops ~band_anchor-fold.  The
+        # first ``stream_slots - 1`` windows are resident; rare wider bands
+        # spill through the LAST slot with a serial per-step DMA (masked to
+        # zero iterations when the band fits).
+        n_resident = stream_slots - 1
+
+        def group_stream_start(c_lo_g, n_win_g):
+            for wi in range(n_resident):
+                @pl.when(wi < n_win_g)
+                def _(wi=wi):
+                    stream_start(c_lo_g, wi, wi)
+
+        def group_stream_walk(c_lo_g, n_win_g, cell, first):
+            words = jnp.zeros(shape, jnp.int32)
+            for wi in range(n_resident):
+                if first:
+                    # The matching start was predicated on wi < n_win_g;
+                    # the wait must be too (sems must balance exactly).
+                    @pl.when(wi < n_win_g)
+                    def _(wi=wi):
+                        stream_dma(win_base(c_lo_g, wi), wi).wait()
+                words = walk_slot(c_lo_g, n_win_g, cell, wi, wi, words)
+
+            def spill(i, words):
+                wi = n_resident + i
+                stream_dma(win_base(c_lo_g, wi), n_resident).start()
+                stream_dma(win_base(c_lo_g, wi), n_resident).wait()
+                return walk_slot(c_lo_g, n_win_g, cell, wi, n_resident,
+                                 words)
+
+            return jax.lax.fori_loop(
+                0, jnp.maximum(n_win_g - n_resident, 0), spill, words)
+
     def cell_of(x, y):
         xi = jnp.clip(jnp.floor((x - xlim0) * inv_res).astype(jnp.int32),
                       0, W - 1)
@@ -561,7 +605,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                       0, H - 1)
         return yi * W + xi
 
-    def step(t, carry, band=None):
+    def step(t, carry, band=None, stream_ctx=None):
         x, y, hd, cost, dist2, reachedf = carry
         v_t = v_ref[t, :].reshape(1, LANES)
         w_t = w_ref[t, :].reshape(1, LANES)
@@ -576,7 +620,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                 # group's first step plus the per-step displacement margin
                 # — no vector->scalar sync on this step.
                 cell_lo, cell_hi = band
-        if stream:
+        if stream and stream_ctx is None:
             # Clamp before dividing (margin-widened group bands may extend
             # past the plane; window DMAs additionally clamp to max_base).
             c_lo = jnp.maximum(cell_lo, 0) // cell_cpc
@@ -605,7 +649,10 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         obs = (mcode & 1).astype(f32)
         unk = ((mcode >> 1) & 1).astype(f32)
 
-        if stream:
+        if stream and stream_ctx is not None:
+            c_lo_g, n_win_g, first = stream_ctx
+            words = group_stream_walk(c_lo_g, n_win_g, cell, first)
+        elif stream:
             words = stream_walk(c_lo, n_win, cell)
         elif n_cell_chunks == 1:
             words = jnp.take_along_axis(nib_ref[0], cell >> cell_shift,
@@ -693,7 +740,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
     init = (jnp.full(shape, x0x, f32), jnp.full(shape, x0y, f32),
             hd0, jnp.zeros(shape, f32),
             jnp.full(shape, 1e9, f32), jnp.zeros(shape, f32))
-    if band_anchor > 1 and use_band and not stream:
+    if band_anchor > 1 and use_band and (not stream or stream_group):
         # Group-banded walk: one exact (min, max) vector->scalar reduction
         # per ``band_anchor`` steps instead of per step; steps inside the
         # group widen the anchor band by the per-step displacement bound
@@ -702,10 +749,18 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
         # between the occupancy reduction and the walk's dynamic loop
         # bounds stalls the pipeline each step; anchoring amortizes it
         # band_anchor-fold for ~(j * margin) extra masked-to-zero chunk
-        # walks.  NOT used under ``stream``: the margin-widened band there
-        # widens the per-step DMA windows, and the measured traffic cost
-        # exceeds the sync saving (forest stream 10.8 -> 12.9 ms at
-        # anchor=4; 250x250 a wash — round-5 probe).  Only valid for
+        # walks.  Under ``stream`` this runs only when ``stream_group``
+        # is EXPLICITLY requested: the group-resident window scheme (each
+        # window DMA'd once per group into its own static slot) cuts HBM
+        # traffic ~band_anchor-fold but its statically-unrolled
+        # all-resident-slots walk costs (stream_slots-1)*stream_band chunk
+        # walks per step regardless of the actual band, and measured 2x
+        # WORSE than per-step streaming on the uncropped 250x250 (21.1 vs
+        # 11.3 ms, round-5 probe; wider slot counts OOM VMEM) — the walk,
+        # not the DMA, is this kernel's bottleneck.  Simply reusing the
+        # per-step 2-slot rotation with anchor bands also measured worse
+        # (10.8 -> 12.9 ms at forest: it re-DMAs the widened band every
+        # step).  Only valid for
         # displacement-bounded models (the solver gates on
         # models.has_displacement_bound, the ROI crop's contract).
         # 1.01: fast_trig's Maclaurin rotation may overshoot |cos|,|sin|
@@ -717,6 +772,21 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             t0 = i * band_anchor
             cell0 = cell_of(carry[0], carry[1])
             lo0, hi0 = jnp.min(cell0), jnp.max(cell0)
+            if stream:
+                # One fixed union band for the whole group: windows are
+                # started here, waited on the first step, walked by all.
+                g_lo = lo0 - (band_anchor - 1) * mcell
+                g_hi = hi0 + (band_anchor - 1) * mcell
+                c_lo_g = jnp.maximum(g_lo, 0) // cell_cpc
+                c_hi_g = (jnp.minimum(g_hi,
+                                      n_cell_chunks * cell_cpc - 1)
+                          // cell_cpc + 1)
+                n_win_g = (c_hi_g - c_lo_g + stream_band - 1) // stream_band
+                group_stream_start(c_lo_g, n_win_g)
+                for j in range(band_anchor):
+                    carry = step(t0 + j, carry, band=(g_lo, g_hi),
+                                 stream_ctx=(c_lo_g, n_win_g, j == 0))
+                return carry
             for j in range(band_anchor):
                 carry = step(t0 + j, carry,
                              band=(lo0 - j * mcell, hi0 + j * mcell))
@@ -737,6 +807,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                                     "m_tile", "step_fn", "banded",
                                     "cell_bits", "t_unroll", "band_unroll",
                                     "band_anchor", "stream", "stream_band",
+                                    "stream_slots", "stream_group",
                                     "max_unrolled"))
 def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         v_all, w_all, risk_words=None,
@@ -748,6 +819,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                         band_anchor=1,
                                         stream=False,
                                         stream_band=STREAM_BAND,
+                                        stream_slots=DEFAULT_STREAM_SLOTS,
+                                        stream_group=False,
                                         max_unrolled=MAX_UNROLLED_CHUNKS):
     """Fused rollout with packed cell-plane maps.
 
@@ -828,6 +901,8 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
                                band_unroll=band_unroll,
                                band_anchor=band_anchor, stream=stream,
                                stream_band=stream_band,
+                               stream_slots=stream_slots,
+                               stream_group=stream_group,
                                max_unrolled=max_unrolled)
     if stream:
         # Full cell plane stays in HBM; the kernel DMAs band windows into
@@ -863,9 +938,13 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
     ]
     scratch_shapes = []
     if stream:
+        # Per-step streaming double-buffers 2 slots; group-resident
+        # streaming (band_anchor > 1) holds ``stream_slots - 1`` windows
+        # resident across the group plus one serial spill slot.
+        n_slots = stream_slots if (band_anchor > 1 and stream_group) else 2
         scratch_shapes = [
-            pltpu.VMEM((2, stream_band, m_tile, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, stream_band, m_tile, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ]
     costs_mk = pl.pallas_call(
         kernel,

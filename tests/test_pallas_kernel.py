@@ -185,8 +185,9 @@ def test_binned_kernel_banded_walk_path():
     (4, 2, 4, False),  # anchor smaller than the unroll group
     (4, 5, 5, False),  # T=12 -> 2 groups + 2-step per-step-band tail
     (2, 4, 4, False),  # crumb plane
-    # Stream path IGNORES band_anchor (measured regression: the margin
-    # widens the DMA windows) — this case pins that passing an anchor with
+    # Stream path ignores band_anchor unless stream_group is explicitly
+    # requested (group-resident windows measured 2x worse on hardware, see
+    # rollout_kernel.py) — this case pins that passing an anchor with
     # stream=True stays correct and per-step-banded.
     (4, 4, 4, True),
 ])
@@ -215,6 +216,30 @@ def test_binned_kernel_group_band(cell_bits, band_anchor, t_unroll, stream):
         H=H, W=W, T=12, interpret=True, cell_bits=cell_bits,
         max_unrolled=0, band_anchor=band_anchor, t_unroll=t_unroll,
         stream=stream, stream_band=4))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("stream_slots", [9, 2, 3])
+def test_group_resident_stream_matches_oracle(stream_slots):
+    """Opt-in group-resident streaming (stream_group=True): windows DMA'd
+    once per anchor group into static slots, walked by every in-group step;
+    bands wider than the resident slots spill through the last slot.
+    Covers resident-only (9), spill-heavy (2: one resident window), and
+    mixed (3) configurations.  Kept opt-in: measured 2x slower than
+    per-step streaming on hardware (the static all-slots walk dominates),
+    but the path must stay correct for future hardware where DMA is the
+    bottleneck."""
+    H, W = 160, 128
+    task, packed, nib, maskw, lut, u_cur, noise = build_binned_problem(
+        seed=41, K=128, M=8, T=14, H=H, W=W)
+    ref = np.asarray(terrain_rollout_costs(packed, task, u_cur, noise))
+    v_all, w_all = _clipped_controls_tk(u_cur, noise, task.vrange,
+                                        task.wrange)
+    got = np.asarray(terrain_rollout_costs_pallas_binned(
+        nib, maskw, lut, build_task_vec(task), v_all, w_all,
+        H=H, W=W, T=14, interpret=True, stream=True, stream_band=4,
+        t_unroll=4, band_anchor=4, stream_group=True,
+        stream_slots=stream_slots))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
