@@ -47,6 +47,9 @@ VMEM_BUDGET = 12 * 1024 * 1024  # conservative slice of ~16 MB/core
 # nibble 140x84 8.33 -> 7.42 ms and 250x250 14.75 -> 14.13 ms at 4; crumb
 # 250x250 10.0 -> 9.2 ms at 2 (4 unswept, semantics-identical either way).
 DEFAULT_T_UNROLL_BYTE = 4
+# 4-vs-5 re-swept with the group-anchored band (3 reps each, round 5,
+# BENCH_WALK.jsonl): forest 6.84/6.78, 250x250 12.28/12.47 — a split
+# decision inside run noise; 4 kept.
 DEFAULT_T_UNROLL_BINNED = 4
 
 
