@@ -366,7 +366,10 @@ DEFAULT_BAND_UNROLL = 4   # chunks per banded-walk iteration (confirmed by
 # r4 sweep: 4 beats 8 by ~30% at both 250x250 (12.76 vs 18.11 ms) and
 # 140x84 (12.71 vs 18.69 ms); 16 is 2.5x worse (32.2 ms) — narrow windows
 # track the band tighter and the doubled DMA count pipelines fine.
-STREAM_BAND = 4
+# r5 extension at 250x250 nibble: 2 beats 4 by ~9% (10.5-10.8 vs
+# 11.6 ms) and 1 gives it back (11.2 ms — per-window overhead); byte2
+# agrees (sb=2 13.9 vs sb=4 14.6 ms).  BENCH_WALK.jsonl.
+STREAM_BAND = 2
 # Group-resident streaming: windows held across an anchor group (+1 spill
 # slot).  8 resident windows x STREAM_BAND(4) chunks cover a 32-chunk
 # occupancy band — wider than any measured band (250x250 nibble averages
