@@ -314,7 +314,8 @@ MAX_UNROLLED_CHUNKS_BYTE = 16
 def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
                                     num_pmf_bins=16, speed_map=True,
                                     cell_bits=4, vmem_budget=VMEM_BUDGET,
-                                    stream=False, stream_band=None):
+                                    stream=False, stream_band=None,
+                                    stream_slots=2):
     """The sublane tile size to use, or None when the kernel cannot run.
 
     ``speed_map`` charges the shared risk-byte plane; callers that know the
@@ -340,7 +341,12 @@ def pallas_rollout_binned_supported(num_grid_samples, map_hw, num_steps=128,
     n_risk_chunks = -(-map_hw // NIB_CELLS_PER_CHUNK)
     if stream_band is None:
         stream_band = STREAM_BAND
-    cell_resident = 2 * stream_band if stream else 2 * n_cell_chunks
+    # ``stream_slots``: per-step streaming double-buffers 2 window slots;
+    # group-resident streaming (stream_group) holds stream_slots windows —
+    # callers sizing a tile for that mode must pass the real slot count or
+    # the chosen tile blows VMEM at compile time (round-5 review finding).
+    cell_resident = (stream_slots * stream_band if stream
+                     else 2 * n_cell_chunks)
     m_pad = _ceil_to(max(num_grid_samples, 8), 8)
     for m_tile in (MAX_M_TILE, 128, 64, 32):
         mt = min(m_pad, m_tile)
@@ -370,11 +376,12 @@ DEFAULT_BAND_UNROLL = 4   # chunks per banded-walk iteration (confirmed by
 # 11.6 ms) and 1 gives it back (11.2 ms — per-window overhead); byte2
 # agrees (sb=2 13.9 vs sb=4 14.6 ms).  BENCH_WALK.jsonl.
 STREAM_BAND = 2
-# Group-resident streaming: windows held across an anchor group (+1 spill
-# slot).  8 resident windows x STREAM_BAND(4) chunks cover a 32-chunk
-# occupancy band — wider than any measured band (250x250 nibble averages
-# ~23+margin) — before the serial spill path engages.
-DEFAULT_STREAM_SLOTS = 9
+# Group-resident streaming (opt-in stream_group=True): windows held across
+# an anchor group (+1 spill slot).  16 resident windows x STREAM_BAND(2)
+# chunks cover a 32-chunk occupancy band — wider than any measured band
+# (250x250 nibble averages ~23+margin) — before the serial spill path
+# engages.  Re-derive if STREAM_BAND changes: coverage = (slots-1) * band.
+DEFAULT_STREAM_SLOTS = 17
 
 
 def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
@@ -512,6 +519,15 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
             # via the validity mask, so overlap between windows is benign.
             return jnp.minimum(c_lo + wi * stream_band, max_base)
 
+        def band_windows(cell_lo, cell_hi):
+            """(first chunk window, window count) covering a cell band.
+            Clamp before dividing: margin-widened group bands may extend
+            past the plane; window DMAs additionally clamp to max_base."""
+            c_lo = jnp.maximum(cell_lo, 0) // cell_cpc
+            c_hi = (jnp.minimum(cell_hi, n_cell_chunks * cell_cpc - 1)
+                    // cell_cpc + 1)
+            return c_lo, (c_hi - c_lo + stream_band - 1) // stream_band
+
         def stream_start(c_lo, wi, slot):
             stream_dma(win_base(c_lo, wi), slot).start()
 
@@ -627,12 +643,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                 # — no vector->scalar sync on this step.
                 cell_lo, cell_hi = band
         if stream and stream_ctx is None:
-            # Clamp before dividing (margin-widened group bands may extend
-            # past the plane; window DMAs additionally clamp to max_base).
-            c_lo = jnp.maximum(cell_lo, 0) // cell_cpc
-            c_hi = (jnp.minimum(cell_hi, n_cell_chunks * cell_cpc - 1)
-                    // cell_cpc + 1)
-            n_win = (c_hi - c_lo + stream_band - 1) // stream_band
+            c_lo, n_win = band_windows(cell_lo, cell_hi)
             stream_start(c_lo, 0, 0)
 
             @pl.when(n_win > 1)
@@ -783,11 +794,7 @@ def _rollout_kernel_binned(task_ref, nib_ref, mask_ref, *refs, T, H, W,
                 # started here, waited on the first step, walked by all.
                 g_lo = lo0 - (band_anchor - 1) * mcell
                 g_hi = hi0 + (band_anchor - 1) * mcell
-                c_lo_g = jnp.maximum(g_lo, 0) // cell_cpc
-                c_hi_g = (jnp.minimum(g_hi,
-                                      n_cell_chunks * cell_cpc - 1)
-                          // cell_cpc + 1)
-                n_win_g = (c_hi_g - c_lo_g + stream_band - 1) // stream_band
+                c_lo_g, n_win_g = band_windows(g_lo, g_hi)
                 group_stream_start(c_lo_g, n_win_g)
                 for j in range(band_anchor):
                     carry = step(t0 + j, carry, band=(g_lo, g_hi),
@@ -872,7 +879,10 @@ def terrain_rollout_costs_pallas_binned(nib_words, mask_words, lut, task_vec,
             M, H * W, T, num_pmf_bins=4 if cell_bits == 2 else 16,
             speed_map=risk_words is not None,
             cell_bits=cell_bits, stream=stream,
-            stream_band=stream_band) or MAX_M_TILE
+            stream_band=stream_band,
+            stream_slots=(stream_slots if (stream and band_anchor > 1
+                                           and stream_group) else 2)) \
+            or MAX_M_TILE
     m_tile = min(m_pad, m_tile)
     m_pad = _ceil_to(m_pad, m_tile)
     if lut is None:

@@ -237,21 +237,45 @@ def main():
                          "envs_{}_trials_{}_densities_{}_device{}.pickle"
                          .format(ENVS_PER_DENSITY, TRIALS_PER_ENV,
                                  len(GRASS_DENSITY_LIST), _ustd_tag()))
-    if not ran_any and os.path.exists(fname):
-        # Only skip when the existing pickle actually covers every method:
-        # a GIVING-UP run saves a partial aggregate, and treating that as
-        # final would freeze an incomplete artifact (round-5 bug).
-        with open(fname, "rb") as fh:
-            prev = pickle.load(fh)
+    prev = None
+    if os.path.exists(fname):
+        # Guarded read: a truncated/corrupt aggregate (killed mid-dump —
+        # the crash environment this script is built around) must not
+        # abort aggregation; fall through to a clean re-save instead.
+        try:
+            with open(fname, "rb") as fh:
+                prev = pickle.load(fh)
+            prev["logger"]["method"]
+        except Exception as e:  # noqa: BLE001
+            print("existing {} unreadable ({}); re-saving"
+                  .format(fname, type(e).__name__))
+            prev = None
+    if prev is not None:
         have = set(prev["logger"]["method"].unique())
-        if set(METHOD_LIST) <= have:
-            print("not re-saving {} (would clobber the measured wall clock)"
-                  .format(fname))
-            return
-        print("existing {} lacks methods {}; re-saving from cached sweeps "
-              "(wall-clock kept from the measured partial run)"
-              .format(fname, sorted(set(METHOD_LIST) - have)))
-        wall = prev.get("wall_clock_s", wall)
+        if not ran_any:
+            # Only skip when the existing pickle actually covers every
+            # method: a GIVING-UP run saves a partial aggregate, and
+            # treating that as final would freeze an incomplete artifact
+            # (round-5 bug).
+            if set(METHOD_LIST) <= have:
+                print("not re-saving {} (would clobber the measured wall "
+                      "clock)".format(fname))
+                return
+            print("existing {} lacks methods {}; re-saving from cached "
+                  "sweeps (wall-clock kept from the measured partial run)"
+                  .format(fname, sorted(set(METHOD_LIST) - have)))
+            wall = prev.get("wall_clock_s", wall)
+        # Never DROP methods the existing aggregate has but this run's
+        # partials lack (e.g. a cleaned-up partial + a failed re-sweep):
+        # merge the previous rows in so a less complete run cannot
+        # clobber a more complete artifact.
+        missing_here = have - set(df["method"].unique())
+        if missing_here:
+            print("merging methods {} from the existing aggregate"
+                  .format(sorted(missing_here)))
+            keep = prev["logger"][prev["logger"]["method"]
+                                  .isin(sorted(missing_here))]
+            df = pd.concat([df, keep], ignore_index=True)
 
     world, cfg, params = build_problem()
     os.makedirs(OUT_DIR, exist_ok=True)

@@ -221,7 +221,10 @@ def main():
     out = "BENCHMARK_RESULTS.md"
     # Preserve the hand-maintained tail (closure tables, A/B studies,
     # residual decompositions from past rounds): everything at or below the
-    # CURATED marker survives regeneration verbatim.
+    # CURATED marker survives regeneration verbatim.  The marker is always
+    # re-emitted (self-healing: a regeneration can never strip it), and a
+    # prior file WITHOUT the marker aborts rather than silently deleting
+    # hand-written content.
     marker = ("<!-- CURATED BELOW: hand-maintained sections; "
               "scripts/summarize_benchmark.py preserves everything under "
               "this marker -->")
@@ -229,9 +232,14 @@ def main():
     if os.path.exists(out):
         prev = open(out).read()
         if marker in prev:
-            curated = "\n" + marker + prev.split(marker, 1)[1]
+            curated = prev.split(marker, 1)[1]
+        elif prev.strip():
+            raise SystemExit(
+                "refusing to overwrite {}: the CURATED marker is missing "
+                "(was it edited away?) — restore the marker line or delete "
+                "the file to regenerate from scratch".format(out))
     with open(out, "w") as fh:
-        fh.write("\n".join(lines) + curated)
+        fh.write("\n".join(lines) + "\n" + marker + curated)
     print("wrote", out)
     print("\n".join(lines[:30]))
 
